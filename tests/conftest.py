@@ -1,0 +1,27 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the data-parallel / shard_map
+paths (rot_mvgaze_tpu.parallel) are exercised without TPU hardware — the
+standard JAX trick replacing what the reference never had (no distributed
+tests, no tests at all: /root/reference has no tests/ directory).
+"""
+
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh. The session sitecustomize may
+# have already imported jax and force-selected the TPU platform via
+# jax.config.update("jax_platforms", ...), so overriding the env var alone is
+# not enough — update the live jax config before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
