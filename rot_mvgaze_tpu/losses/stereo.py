@@ -1,0 +1,86 @@
+"""Two-view and per-iteration loss composition over the output pytree.
+
+Parity with /root/reference/losses/stereo_loss.py:25-84. Implemented as
+dataclasses of static config whose ``__call__`` is a pure function of the
+model's output dict — jit-safe, no module state.
+
+Effective weighting for the shipped config (iter_decay=0.5, 3 iters,
+rel_weight=0.01, reference_decay=1.0):
+``0.01 * (0.25*L(iter_0) + 0.5*L(iter_1) + 1.0*L(iter_2))`` where each
+``L = angular(g0, gt0) + angular(g1, gt1)``
+(/root/reference/main.py:239-240, losses/stereo_loss.py:46-54,74-77).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from rot_mvgaze_tpu.losses.gaze import make_gaze_loss
+
+
+@dataclass(frozen=True)
+class StereoL1Loss:
+    """Supervised two-view loss: ``(L(g0,gt0) + decay*L(g1,gt1)) * rel_weight``.
+
+    Parity: /root/reference/losses/stereo_loss.py:25-54 (despite the name, the
+    distance is the configured metric — angular by default, matching
+    /root/reference/main.py:239).
+    """
+
+    rel_weight: float = 1.0
+    reference_decay: float = 1.0
+    distance_metric: str = "angular_error"
+    pred_gaze_key: str = "pred_gaze"
+
+    @property
+    def _loss_fn(self) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        # 'angular_error' -> angular, mirroring the hardcoded GazeLoss
+        # construction at /root/reference/losses/stereo_loss.py:37-39.
+        return make_gaze_loss("angular")
+
+    def __call__(self, data: Dict[str, Any]) -> jnp.ndarray:
+        loss_fn = self._loss_fn
+        pred_0 = data[f"{self.pred_gaze_key}_0"]
+        pred_1 = data[f"{self.pred_gaze_key}_1"]
+        loss = loss_fn(pred_0, data["gt_gaze"])
+        loss_aux = loss_fn(pred_1, data["gt_gaze_1"])
+        return (loss + loss_aux * self.reference_decay) * self.rel_weight
+
+
+@dataclass(frozen=True)
+class IterationLoss:
+    """Geometric-decay accumulation across fusion iterations.
+
+    ``total = total * iter_decay + loss(iter_i ∪ common)`` for each iteration,
+    with the optional ``additional_decay`` final-iteration term. Parity:
+    /root/reference/losses/stereo_loss.py:57-84. The iteration count comes
+    from the static ``iter_{i}`` keys of the output dict (not the traced
+    ``num_iter`` leaf), so this composes with ``jit``.
+    """
+
+    loss: StereoL1Loss
+    iter_decay: float = 1.0
+    additional_decay: Optional[float] = None
+
+    def __call__(self, data: Dict[str, Any]) -> jnp.ndarray:
+        iter_keys = sorted(
+            (k for k in data if k.startswith("iter_")),
+            key=lambda k: int(k.split("_")[1]),
+        )
+        common = {k: v for k, v in data.items() if not k.startswith("iter_")}
+        num_iter = len(iter_keys)
+        if self.additional_decay is not None:
+            num_iter -= 1
+
+        total = jnp.asarray(0.0, jnp.float32)
+        for k in iter_keys[:num_iter]:
+            iter_data = {**common, **data[k]}
+            total = total * self.iter_decay + self.loss(iter_data)
+
+        if self.additional_decay is not None:
+            last = {**common, **data[iter_keys[num_iter]]}
+            total = total + self.loss(last) * self.additional_decay
+        return total

@@ -1,0 +1,310 @@
+"""NHWC flax.linen ResNet family (18/34/50/101/152, ResNeXt, Wide).
+
+Capability parity with /root/reference/models/resnet.py:50-399, re-designed
+for TPU:
+
+- NHWC layout end-to-end (the TPU-native conv layout; XLA tiles NHWC convs
+  onto the MXU without transposes).
+- The reference's ``forward`` applies avgpool and SKIPS ``fc``
+  (/root/reference/models/resnet.py:261-275, ``take_avg=True``), and the
+  wrapping Sequential applies a second, no-op avgpool
+  (/root/reference/models/rot_mv.py:124-128). Both collapse to a single
+  spatial mean here; ``__call__`` returns pooled ``(B, C)`` features by
+  default. ``include_fc=True`` adds the classification head for standalone
+  classification use.
+- ``bn_axis_name`` enables cross-replica batch-stat ``pmean`` when the model
+  runs under ``shard_map``/``pmap`` data parallelism (the reference trains
+  single-device BN; syncing stats is the faithful scaled-up semantics).
+- Compute dtype is configurable (bfloat16 for MXU throughput); params and BN
+  statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple, Type
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# torch conv init: kaiming_normal(mode=fan_out, nonlinearity=relu)
+# (/root/reference/models/resnet.py:203-205).
+conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) followed by BatchNorm — the ResNet primitive pair."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    groups: int = 1
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    conv_name: str = "conv"
+    bn_name: str = "bn"
+    bn_scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        pad = self.kernel_size // 2
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=conv_kaiming_init,
+            name=self.conv_name,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch BN momentum 0.1 == flax momentum 0.9
+            epsilon=1e-5,
+            axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            scale_init=self.bn_scale_init,
+            name=self.bn_name,
+        )(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity shortcut (/root/reference/models/resnet.py:50-96)."""
+
+    planes: int
+    strides: int = 1
+    has_downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    zero_init_residual: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = ConvBN(
+            self.planes, 3, self.strides,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            conv_name="conv1", bn_name="bn1", name="cb1",
+        )(x, train)
+        out = nn.relu(out)
+        out = ConvBN(
+            self.planes, 3, 1,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            conv_name="conv2", bn_name="bn2", name="cb2",
+            bn_scale_init=(
+                nn.initializers.zeros
+                if self.zero_init_residual
+                else nn.initializers.ones
+            ),
+        )(out, train)
+        if self.has_downsample:
+            identity = ConvBN(
+                self.planes * self.expansion, 1, self.strides,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                bn_axis_name=self.bn_axis_name,
+                conv_name="conv", bn_name="bn", name="downsample",
+            )(x, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck (/root/reference/models/resnet.py:99-148)."""
+
+    planes: int
+    strides: int = 1
+    has_downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    zero_init_residual: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = ConvBN(
+            width, 1, 1,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            conv_name="conv1", bn_name="bn1", name="cb1",
+        )(x, train)
+        out = nn.relu(out)
+        out = ConvBN(
+            width, 3, self.strides, groups=self.groups,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            conv_name="conv2", bn_name="bn2", name="cb2",
+        )(out, train)
+        out = nn.relu(out)
+        out = ConvBN(
+            self.planes * self.expansion, 1, 1,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            conv_name="conv3", bn_name="bn3", name="cb3",
+            bn_scale_init=(
+                nn.initializers.zeros
+                if self.zero_init_residual
+                else nn.initializers.ones
+            ),
+        )(out, train)
+        if self.has_downsample:
+            identity = ConvBN(
+                self.planes * self.expansion, 1, self.strides,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                bn_axis_name=self.bn_axis_name,
+                conv_name="conv", bn_name="bn", name="downsample",
+            )(x, train)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """NHWC ResNet backbone returning pooled features (B, C).
+
+    ``stage_sizes``/``block_cls`` select the depth; ``groups``/
+    ``width_per_group`` select ResNeXt/Wide variants, mirroring
+    /root/reference/models/resnet.py:151-259.
+    """
+
+    stage_sizes: Sequence[int]
+    block_cls: Type[nn.Module]
+    num_classes: int = 1000
+    include_fc: bool = False
+    groups: int = 1
+    width_per_group: int = 64
+    in_channels: int = 3
+    zero_init_residual: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def feature_dim(self) -> int:
+        return 512 * self.block_cls.expansion
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, kernel_size=(7, 7), strides=(2, 2),
+            padding=[(3, 3), (3, 3)], use_bias=False,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=conv_kaiming_init, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.bn_axis_name,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1): -inf padding.
+        x = nn.max_pool(
+            x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        expansion = self.block_cls.expansion
+        inplanes = 64
+        for stage_i, (planes, num_blocks) in enumerate(
+            zip((64, 128, 256, 512), self.stage_sizes)
+        ):
+            strides = 1 if stage_i == 0 else 2
+            for block_i in range(num_blocks):
+                block_strides = strides if block_i == 0 else 1
+                has_down = block_i == 0 and (
+                    block_strides != 1 or inplanes != planes * expansion
+                )
+                x = self.block_cls(
+                    planes=planes,
+                    strides=block_strides,
+                    has_downsample=has_down,
+                    groups=self.groups,
+                    base_width=self.width_per_group,
+                    zero_init_residual=self.zero_init_residual,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    bn_axis_name=self.bn_axis_name,
+                    name=f"layer{stage_i + 1}_{block_i}",
+                )(x, train)
+                inplanes = planes * expansion
+
+        # Global average pool == the reference's AdaptiveAvgPool2d((1,1)) +
+        # Flatten (the second avgpool in rot_mv.py:124-128 is a no-op).
+        x = jnp.mean(x, axis=(1, 2))
+
+        if self.include_fc:
+            x = nn.Dense(
+                self.num_classes,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="fc",
+            )(x)
+        return x
+
+
+def resnet18(**kwargs) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, **kwargs)
+
+
+def resnet34(**kwargs) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock, **kwargs)
+
+
+def resnet50(**kwargs) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, **kwargs)
+
+
+def resnet101(**kwargs) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck, **kwargs)
+
+
+def resnet152(**kwargs) -> ResNet:
+    return ResNet(stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck, **kwargs)
+
+
+def resnext50_32x4d(**kwargs) -> ResNet:
+    return ResNet(
+        stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
+        groups=32, width_per_group=4, **kwargs,
+    )
+
+
+def resnext101_32x8d(**kwargs) -> ResNet:
+    return ResNet(
+        stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck,
+        groups=32, width_per_group=8, **kwargs,
+    )
+
+
+def wide_resnet50_2(**kwargs) -> ResNet:
+    return ResNet(
+        stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
+        width_per_group=128, **kwargs,
+    )
+
+
+def wide_resnet101_2(**kwargs) -> ResNet:
+    return ResNet(
+        stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck,
+        width_per_group=128, **kwargs,
+    )
+
+
+BACKBONES = {
+    18: resnet18,
+    34: resnet34,
+    50: resnet50,
+    101: resnet101,
+    152: resnet152,
+}

@@ -1,0 +1,372 @@
+"""Rotation-constrained cross-view gaze fusion model (the paper's model).
+
+Capability parity with /root/reference/models/rot_mv.py:13-269, rebuilt as a
+flax.linen module over NHWC inputs with a dict-pytree in/out contract (same
+keys as the reference so losses/trainer compose identically):
+
+input  : {img_0, img_1, rot_0, rot_1, ...}
+output : input ∪ {num_iter, img_feat_{0,1}, initial_rot_feat_{0,1},
+                  iter_{i}: {feat_0, feat_1, pred_gaze_0, pred_gaze_1},
+                  pred_gaze}
+
+Forward math per iteration i (default path,
+/root/reference/models/rot_mv.py:193-239)::
+
+    rot_10 = R0 @ R1^T ;  rot_01 = R1 @ R0^T
+    f0' = fuser_i(img_feat_0, rot_10 @ f1)
+    f1' = fuser_i(img_feat_1, rot_01 @ f0)     # uses PRE-update f0
+    g0  = head_i([img_feat_0, f0'])
+    g1  = head_i([img_feat_1, f1'])
+
+The iteration count is static, so the loop is unrolled at trace time — XLA
+sees a flat chain of large batched matmuls (MXU-friendly), no dynamic control
+flow. Variant paths (encode_rotmat / ignore_rotmat / share_feature /
+share_weights) mirror /root/reference/models/rot_mv.py:136-158,219-254.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rot_mvgaze_tpu.models.blocks import Mlp
+from rot_mvgaze_tpu.models.resnet import BACKBONES
+
+NUM_FEAT_VEC = 512
+
+
+class IntensityBatchNorm(nn.Module):
+    """Normalizes rotatable features by a running std of per-vector norms.
+
+    Parity with /root/reference/models/rot_mv.py:13-32. Despite the buffer's
+    name (``running_mean``), it tracks a running *std* of the feature-vector
+    intensity ``||x||_2`` over the batch; momentum 0.05, eps 1e-4. During
+    training the buffer is updated BEFORE the division (the reference divides
+    by the freshly updated value). With ``axis_name`` set, batch statistics
+    are computed over the global (cross-replica) batch.
+    """
+
+    n_channels: int
+    momentum: float = 0.05
+    eps: float = 1e-4
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        running = self.variable(
+            "batch_stats",
+            "running_mean",
+            lambda: jnp.ones((1, 1, self.n_channels), jnp.float32),
+        )
+        if train:
+            # [B, 1, C]: L2 norm over the 3-dim rotation axis, no gradient.
+            intensity = jax.lax.stop_gradient(
+                jnp.linalg.norm(x.astype(jnp.float32), axis=-2, keepdims=True)
+            )
+            mean = jnp.mean(intensity, axis=0, keepdims=True)
+            mean_sq = jnp.mean(jnp.square(intensity), axis=0, keepdims=True)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+            var = mean_sq - jnp.square(mean)  # biased, as torch unbiased=False
+            std = jnp.sqrt(jnp.maximum(var, self.eps))
+            new_running = running.value * (1 - self.momentum) + std * self.momentum
+            if not self.is_initializing():
+                running.value = new_running
+            denom = new_running
+        else:
+            denom = running.value
+        return x / (denom + self.eps).astype(x.dtype)
+
+
+class ImageFeatFuser(nn.Module):
+    """MLP fusing a view's image feature with the (rotated) other-view
+    rotatable feature. Parity: /root/reference/models/rot_mv.py:35-50."""
+
+    img_feat_dim: int
+    num_feat_vec: int = NUM_FEAT_VEC
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, img_feat: jnp.ndarray, rotatable_feat: jnp.ndarray
+    ) -> jnp.ndarray:
+        in_channel = self.img_feat_dim + self.num_feat_vec * 3
+        flat = rotatable_feat.reshape(*rotatable_feat.shape[:-2], -1)
+        in_feat = jnp.concatenate([img_feat, flat], axis=-1)
+        return Mlp(
+            features=[in_channel, self.num_feat_vec * 3],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="fuser",
+        )(in_feat)
+
+
+class ImageRotmatFeatFuser(nn.Module):
+    """Fuser variant that concatenates the raw relative rotation matrix and
+    fuses the UN-rotated other-view feature; 3-layer MLP.
+    Parity: /root/reference/models/rot_mv.py:53-67."""
+
+    img_feat_dim: int
+    num_feat_vec: int = NUM_FEAT_VEC
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, img_feat: jnp.ndarray, rotatable_feat: jnp.ndarray, rot: jnp.ndarray
+    ) -> jnp.ndarray:
+        in_channel = self.img_feat_dim + self.num_feat_vec * 3 + 9
+        flat = rotatable_feat.reshape(*rotatable_feat.shape[:-2], -1)
+        rot_flat = rot.reshape(*rot.shape[:-2], -1).astype(img_feat.dtype)
+        in_feat = jnp.concatenate([img_feat, flat, rot_flat], axis=-1)
+        return Mlp(
+            features=[in_channel, in_channel, self.num_feat_vec * 3],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="fuser",
+        )(in_feat)
+
+
+class RotFeatFuser(nn.Module):
+    """share_feature variant: intensity-normalized rotatable features from
+    both views, concatenated channel-wise. Parity:
+    /root/reference/models/rot_mv.py:70-85."""
+
+    num_feat_vec: int = NUM_FEAT_VEC
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        feat_0: jnp.ndarray,
+        feat_1: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        in_channel = self.num_feat_vec * 6
+        bn = IntensityBatchNorm(
+            self.num_feat_vec, axis_name=self.bn_axis_name, name="batchnorm"
+        )
+        f0 = bn(feat_0, train)
+        f1 = bn(feat_1, train)
+        in_feat = jnp.concatenate([f0, f1], axis=-1)
+        in_feat = in_feat.reshape(*in_feat.shape[:-2], -1)
+        out = Mlp(
+            features=[in_channel, in_channel, 3 * self.num_feat_vec],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="fuser",
+        )(in_feat)
+        return out.reshape(-1, 3, self.num_feat_vec)
+
+
+class Feat3dLifter(nn.Module):
+    """Lifts a backbone feature to a rotatable (3, num_feat_vec) matrix.
+    Parity: /root/reference/models/rot_mv.py:91-98. Shared across views and
+    iterations."""
+
+    num_feat_vec: int = NUM_FEAT_VEC
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_feat: jnp.ndarray) -> jnp.ndarray:
+        out = Mlp(
+            features=[self.num_feat_vec * 3, self.num_feat_vec * 3],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="lifter",
+        )(in_feat)
+        return out.reshape(-1, 3, self.num_feat_vec)
+
+
+class FeatRotationSymm(nn.Module):
+    """Twin-backbone, iterative rotation-constrained cross-view fusion.
+
+    Parity target: /root/reference/models/rot_mv.py:102-269 with the shipped
+    config ``(backbone_depth=50, num_iter=3, share_weights=False,
+    encode_rotmat=False, share_feature=False, ignore_rotmat=False)``
+    (/root/reference/main.py:231-236). All ablation paths supported.
+    """
+
+    backbone_depth: int = 50
+    num_iter: int = 3
+    share_weights: bool = False
+    encode_rotmat: bool = False
+    share_feature: bool = False
+    ignore_rotmat: bool = False
+    num_feat_vec: int = NUM_FEAT_VEC
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    def setup(self) -> None:
+        assert not (self.ignore_rotmat and self.encode_rotmat)
+        backbone_ctor = BACKBONES[self.backbone_depth]
+        self.backbone = backbone_ctor(
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            name="backbone",
+        )
+        fc_dim = self.backbone.feature_dim
+        self.lifter = Feat3dLifter(
+            self.num_feat_vec,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="lifter",
+        )
+
+        if self.encode_rotmat:
+            fuser_cls = ImageRotmatFeatFuser
+        else:
+            fuser_cls = ImageFeatFuser
+
+        def make_fuser(i: int):
+            if self.share_feature:
+                return RotFeatFuser(
+                    self.num_feat_vec,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    bn_axis_name=self.bn_axis_name,
+                    name=f"img_fuser_{i}",
+                )
+            return fuser_cls(
+                fc_dim,
+                self.num_feat_vec,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"img_fuser_{i}",
+            )
+
+        def make_head(i: int):
+            # Input dim (num_feat_vec*3 + fc_dim, or num_feat_vec*6 for
+            # share_feature) is inferred by flax Dense at first call.
+            return Mlp(
+                features=[512, 2],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"gaze_estimator_{i}",
+            )
+
+        # share_weights: ONE instance called num_iter times == torch's
+        # [module]*num_iter aliasing (/root/reference/models/rot_mv.py:151-158).
+        n_distinct = 1 if self.share_weights else self.num_iter
+        self.img_fusers = [make_fuser(i) for i in range(n_distinct)]
+        self.gaze_estimators = [make_head(i) for i in range(n_distinct)]
+
+    def __call__(
+        self, data: Dict[str, Any], train: bool = False
+    ) -> Dict[str, Any]:
+        img_0, img_1 = data["img_0"], data["img_1"]
+        rot_0 = data["rot_0"].astype(jnp.float32)
+        rot_1 = data["rot_1"].astype(jnp.float32)
+
+        # Relative rotations; tiny 3x3 composes — keep full precision.
+        rot_10 = jnp.einsum(
+            "bij,bkj->bik", rot_0, rot_1, precision=jax.lax.Precision.HIGHEST
+        )
+        rot_01 = jnp.einsum(
+            "bij,bkj->bik", rot_1, rot_0, precision=jax.lax.Precision.HIGHEST
+        )
+
+        img_feat_0 = self.backbone(img_0, train)
+        img_feat_1 = self.backbone(img_1, train)
+        rotatable_feat_0 = self.lifter(img_feat_0)
+        rotatable_feat_1 = self.lifter(img_feat_1)
+
+        if self.share_feature:
+            img_feat_0 = rotatable_feat_0
+            img_feat_1 = rotatable_feat_1
+
+        pred: Dict[str, Any] = {
+            "num_iter": self.num_iter,
+            "img_feat_0": img_feat_0,
+            "img_feat_1": img_feat_1,
+            "initial_rot_feat_0": rotatable_feat_0,
+            "initial_rot_feat_1": rotatable_feat_1,
+        }
+
+        def rotate(rot: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+            # (B,3,3) @ (B,3,V): small contraction dim — full precision.
+            return jnp.einsum(
+                "bij,bjv->biv",
+                rot,
+                feat.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(feat.dtype)
+
+        for f_i in range(self.num_iter):
+            m_i = 0 if self.share_weights else f_i
+            img_fuser = self.img_fusers[m_i]
+            gaze_estimator = self.gaze_estimators[m_i]
+            feat_0_prev = rotatable_feat_0
+
+            if self.share_feature:
+                rotatable_feat_0 = img_fuser(
+                    img_feat_0, rotate(rot_10, rotatable_feat_1), train
+                )
+                rotatable_feat_1 = img_fuser(
+                    img_feat_1, rotate(rot_01, feat_0_prev), train
+                )
+                # NOTE: img_feat_{0,1} alias the INITIAL rotatable feats here
+                # (set above), matching /root/reference/models/rot_mv.py:201-203.
+            elif self.encode_rotmat:
+                rotatable_feat_0 = img_fuser(
+                    img_feat_0, rotatable_feat_1, rot_10
+                ).reshape(-1, 3, self.num_feat_vec)
+                rotatable_feat_1 = img_fuser(
+                    img_feat_1, feat_0_prev, rot_01
+                ).reshape(-1, 3, self.num_feat_vec)
+            elif self.ignore_rotmat:
+                rotatable_feat_0 = img_fuser(img_feat_0, rotatable_feat_1).reshape(
+                    -1, 3, self.num_feat_vec
+                )
+                rotatable_feat_1 = img_fuser(img_feat_1, feat_0_prev).reshape(
+                    -1, 3, self.num_feat_vec
+                )
+            else:
+                rotatable_feat_0 = img_fuser(
+                    img_feat_0, rotate(rot_10, rotatable_feat_1)
+                ).reshape(-1, 3, self.num_feat_vec)
+                rotatable_feat_1 = img_fuser(
+                    img_feat_1, rotate(rot_01, feat_0_prev)
+                ).reshape(-1, 3, self.num_feat_vec)
+
+            if self.share_feature:
+                head_in_0 = jnp.concatenate(
+                    [img_feat_0, rotatable_feat_0], axis=-1
+                ).reshape(img_feat_0.shape[0], -1)
+                head_in_1 = jnp.concatenate(
+                    [img_feat_1, rotatable_feat_1], axis=-1
+                ).reshape(img_feat_1.shape[0], -1)
+            else:
+                head_in_0 = jnp.concatenate(
+                    [img_feat_0, rotatable_feat_0.reshape(img_feat_0.shape[0], -1)],
+                    axis=-1,
+                )
+                head_in_1 = jnp.concatenate(
+                    [img_feat_1, rotatable_feat_1.reshape(img_feat_1.shape[0], -1)],
+                    axis=-1,
+                )
+            pred_gaze_0 = gaze_estimator(head_in_0)
+            pred_gaze_1 = gaze_estimator(head_in_1)
+
+            pred[f"iter_{f_i}"] = {
+                "feat_0": rotatable_feat_0,
+                "feat_1": rotatable_feat_1,
+                "pred_gaze_0": pred_gaze_0,
+                "pred_gaze_1": pred_gaze_1,
+            }
+
+        pred["pred_gaze"] = pred[f"iter_{self.num_iter - 1}"]["pred_gaze_0"]
+
+        out = dict(data)
+        out.update(pred)
+        return out

@@ -1,0 +1,150 @@
+"""Numerical parity: flax FeatRotationSymm + torch->JAX converter vs the
+reference torch model executed as a golden oracle.
+
+This is the ≤0.1° checkpoint-parity derisking test (SURVEY.md §7 step 2): a
+randomly-initialized reference model's state dict is converted with
+``convert_rot_mv_state_dict`` and both models are run on identical inputs in
+eval mode; gaze outputs must match to float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from reference_harness import import_reference_models, reference_available
+from rot_mvgaze_tpu.compat import (
+    convert_rot_mv_state_dict,
+    flax_to_torch_state_dict,
+)
+from rot_mvgaze_tpu.compat.torch_convert import check_conversion_coverage
+from rot_mvgaze_tpu.models import FeatRotationSymm
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree or torch unavailable"
+)
+
+
+def _make_inputs(batch=3, size=64, seed=0):
+    rng = np.random.RandomState(seed)
+    img_0 = rng.randn(batch, 3, size, size).astype(np.float32)
+    img_1 = rng.randn(batch, 3, size, size).astype(np.float32)
+    hp_0 = rng.uniform(-0.8, 0.8, (batch, 2)).astype(np.float32)
+    hp_1 = rng.uniform(-0.8, 0.8, (batch, 2)).astype(np.float32)
+    return img_0, img_1, hp_0, hp_1
+
+
+def _run_reference(config, img_0, img_1, rot_0, rot_1, train=False):
+    import torch
+
+    ref_rot_mv, _ = import_reference_models()
+    torch.manual_seed(0)
+    model = ref_rot_mv.FeatRotationSymm(**config)
+    model.train(train)
+    data = {
+        "img_0": torch.from_numpy(img_0),
+        "img_1": torch.from_numpy(img_1),
+        "rot_0": torch.from_numpy(rot_0),
+        "rot_1": torch.from_numpy(rot_1),
+    }
+    with torch.no_grad():
+        out = model(data)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return model, sd, out
+
+
+def _run_ours(config, sd, img_0, img_1, rot_0, rot_1):
+    import jax
+
+    variables = convert_rot_mv_state_dict(sd, **config)
+    variables = jax.tree.map(lambda x: np.asarray(x, np.float32), variables)
+    model = FeatRotationSymm(**config)
+    data = {
+        # torch NCHW -> our NHWC
+        "img_0": np.transpose(img_0, (0, 2, 3, 1)),
+        "img_1": np.transpose(img_1, (0, 2, 3, 1)),
+        "rot_0": rot_0,
+        "rot_1": rot_1,
+    }
+    return model.apply(variables, data, train=False)
+
+
+def _rotmats(hp):
+    import torch
+
+    import rot_mvgaze_tpu.geometry as geo
+
+    return np.asarray(geo.rotation_matrix_2d(hp), np.float32)
+
+
+CONFIGS = [
+    pytest.param(dict(backbone_depth=18, num_iter=2), id="r18-default"),
+    pytest.param(
+        dict(backbone_depth=18, num_iter=2, encode_rotmat=True), id="r18-encode"
+    ),
+    pytest.param(
+        dict(backbone_depth=18, num_iter=2, ignore_rotmat=True), id="r18-ignore"
+    ),
+    pytest.param(
+        dict(backbone_depth=18, num_iter=2, share_feature=True), id="r18-sharefeat"
+    ),
+    pytest.param(
+        dict(backbone_depth=18, num_iter=2, share_weights=True), id="r18-sharew"
+    ),
+    pytest.param(dict(backbone_depth=50, num_iter=3), id="r50-default-shipped"),
+]
+
+
+@pytest.mark.parametrize("config", CONFIGS)
+def test_eval_parity(config):
+    img_0, img_1, hp_0, hp_1 = _make_inputs()
+    rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+
+    _, sd, ref_out = _run_reference(config, img_0, img_1, rot_0, rot_1)
+    assert check_conversion_coverage(sd, **config) == []
+
+    out = _run_ours(config, sd, img_0, img_1, rot_0, rot_1)
+
+    np.testing.assert_allclose(
+        np.asarray(out["pred_gaze"]),
+        ref_out["pred_gaze"].numpy(),
+        atol=2e-4,
+        rtol=1e-3,
+    )
+    # every iteration's gaze heads, both views
+    n_iter = config["num_iter"]
+    for i in range(n_iter):
+        for v in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(out[f"iter_{i}"][f"pred_gaze_{v}"]),
+                ref_out[f"iter_{i}"][f"pred_gaze_{v}"].numpy(),
+                atol=2e-4,
+                rtol=1e-3,
+                err_msg=f"iter_{i} pred_gaze_{v}",
+            )
+
+
+def test_backbone_feature_parity():
+    """Intermediate check: backbone pooled features match closely."""
+    config = dict(backbone_depth=18, num_iter=1)
+    img_0, img_1, hp_0, hp_1 = _make_inputs()
+    rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+    _, sd, ref_out = _run_reference(config, img_0, img_1, rot_0, rot_1)
+    out = _run_ours(config, sd, img_0, img_1, rot_0, rot_1)
+    for k in ("img_feat_0", "img_feat_1", "initial_rot_feat_0", "initial_rot_feat_1"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), ref_out[k].numpy(), atol=1e-4, rtol=1e-3, err_msg=k
+        )
+
+
+def test_round_trip_state_dict():
+    """flax -> torch -> flax conversion is the identity."""
+    import jax
+
+    config = dict(backbone_depth=18, num_iter=2)
+    img_0, img_1, hp_0, hp_1 = _make_inputs(batch=1, size=32)
+    rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+    _, sd, _ = _run_reference(config, img_0, img_1, rot_0, rot_1)
+
+    variables = convert_rot_mv_state_dict(sd, **config)
+    sd_back = flax_to_torch_state_dict(variables, **config)
+    for k, v in sd_back.items():
+        np.testing.assert_array_equal(v, sd[k], err_msg=k)

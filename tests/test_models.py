@@ -1,0 +1,155 @@
+"""Shape/dtype/structure tests for the model layer (no reference needed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rot_mvgaze_tpu.models import FeatRotationSymm, Mlp, resnet18, resnet50
+from rot_mvgaze_tpu.models.rot_mv import IntensityBatchNorm
+
+
+def _data(batch=2, size=32):
+    k = jax.random.PRNGKey(0)
+    eye = jnp.broadcast_to(jnp.eye(3), (batch, 3, 3))
+    return {
+        "img_0": jax.random.normal(k, (batch, size, size, 3)),
+        "img_1": jax.random.normal(k, (batch, size, size, 3)),
+        "rot_0": eye,
+        "rot_1": eye,
+    }
+
+
+class TestMlp:
+    def test_shapes_and_params(self):
+        m = Mlp(features=[8, 4])
+        x = jnp.ones((3, 16))
+        vs = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(vs, x)
+        assert out.shape == (3, 4)
+        assert set(vs["params"].keys()) == {"dense_0", "dense_1"}
+        # last layer bare: output can be negative (no ReLU after last Dense)
+        vs_neg = jax.tree.map(lambda p: -jnp.abs(p), vs)
+        assert np.any(np.asarray(m.apply(vs_neg, x)) < 0)
+
+
+class TestResNet:
+    def test_resnet18_feature_dim(self):
+        m = resnet18()
+        x = jnp.zeros((2, 64, 64, 3))
+        vs = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(vs, x, mutable=False)
+        assert out.shape == (2, 512)
+        assert m.feature_dim == 512
+
+    def test_resnet50_feature_dim(self):
+        assert resnet50().feature_dim == 2048
+
+    def test_classification_head(self):
+        m = resnet18(include_fc=True, num_classes=10)
+        x = jnp.zeros((2, 64, 64, 3))
+        vs = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(vs, x).shape == (2, 10)
+
+    def test_train_updates_batch_stats(self):
+        m = resnet18()
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        vs = m.init(jax.random.PRNGKey(0), x)
+        _, updates = m.apply(vs, x, train=True, mutable=["batch_stats"])
+        before = jax.tree.leaves(vs["batch_stats"])
+        after = jax.tree.leaves(updates["batch_stats"])
+        assert any(
+            not np.allclose(b, a) for b, a in zip(before, after)
+        ), "train=True must update running statistics"
+
+
+class TestIntensityBatchNorm:
+    def test_eval_divides_by_running(self):
+        m = IntensityBatchNorm(4)
+        x = jnp.ones((2, 3, 4)) * 2.0
+        vs = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(vs, x, train=False)
+        np.testing.assert_allclose(out, x / (1.0 + 1e-4), atol=1e-6)
+
+    def test_train_updates_running_std(self):
+        m = IntensityBatchNorm(4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 3, 4)) * 5.0
+        vs = m.init(jax.random.PRNGKey(0), x)
+        _, updates = m.apply(vs, x, train=True, mutable=["batch_stats"])
+        new_running = updates["batch_stats"]["running_mean"]
+        assert not np.allclose(new_running, 1.0)
+
+
+class TestFeatRotationSymm:
+    @pytest.mark.parametrize(
+        "flags",
+        [
+            {},
+            {"encode_rotmat": True},
+            {"ignore_rotmat": True},
+            {"share_feature": True},
+            {"share_weights": True},
+        ],
+        ids=["default", "encode", "ignore", "sharefeat", "sharew"],
+    )
+    def test_output_contract(self, flags):
+        m = FeatRotationSymm(backbone_depth=18, num_iter=2, **flags)
+        data = _data()
+        vs = m.init(jax.random.PRNGKey(0), data)
+        out = m.apply(vs, data)
+        assert out["pred_gaze"].shape == (2, 2)
+        for i in range(2):
+            it = out[f"iter_{i}"]
+            assert it["pred_gaze_0"].shape == (2, 2)
+            assert it["pred_gaze_1"].shape == (2, 2)
+            assert it["feat_0"].shape == (2, 3, 512)
+        np.testing.assert_array_equal(
+            out["pred_gaze"], out["iter_1"]["pred_gaze_0"]
+        )
+        # input keys preserved (dict-pipeline contract)
+        for k in data:
+            assert k in out
+
+    def test_share_weights_single_param_set(self):
+        m = FeatRotationSymm(backbone_depth=18, num_iter=3, share_weights=True)
+        vs = m.init(jax.random.PRNGKey(0), _data())
+        fusers = [k for k in vs["params"] if k.startswith("img_fuser")]
+        assert fusers == ["img_fuser_0"]
+
+    def test_jit_forward(self):
+        m = FeatRotationSymm(backbone_depth=18, num_iter=2)
+        data = _data()
+        vs = m.init(jax.random.PRNGKey(0), data)
+        f = jax.jit(lambda v, d: m.apply(v, d)["pred_gaze"])
+        out = f(vs, data)
+        assert out.shape == (2, 2)
+
+    def test_grad_flows(self):
+        m = FeatRotationSymm(backbone_depth=18, num_iter=2)
+        data = _data()
+        vs = m.init(jax.random.PRNGKey(0), data)
+
+        def loss_fn(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                data,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out["pred_gaze"] ** 2)
+
+        grads = jax.grad(loss_fn)(vs["params"])
+        gnorms = [float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)]
+        assert max(gnorms) > 0.0
+        assert all(np.isfinite(g) for g in gnorms)
+
+    def test_bf16_compute(self):
+        m = FeatRotationSymm(backbone_depth=18, num_iter=2, dtype=jnp.bfloat16)
+        data = _data()
+        vs = m.init(jax.random.PRNGKey(0), data)
+        out = m.apply(vs, data)
+        assert out["pred_gaze"].shape == (2, 2)
+        # params stay f32
+        assert all(
+            p.dtype == jnp.float32 for p in jax.tree.leaves(vs["params"])
+        )
