@@ -1,0 +1,232 @@
+"""On-device image preprocessing & augmentation (batched NHWC, PRNG-keyed).
+
+The reference runs per-sample CPU augmentation inside DataLoader workers
+(/root/reference/main.py:38-56, dataset/gaze.py:106-111). Here the whole stack
+is a pure jit-compatible function over a uint8 batch — it fuses into the
+train step, the host ships 4x fewer bytes, and every op has static shapes:
+
+- ``color_jitter``: brightness 1.0 / contrast 0.1 / saturation 0.1 in random
+  order (torchvision ColorJitter semantics; distribution-match).
+- ``random_affine``: scale [0.99, 1.01] + translate [0.01, 0.01], nearest
+  resample, fill 0 (torchvision RandomAffine defaults).
+- ``resize_bilinear``: antialiased bilinear (torchvision Resize(antialias=True)).
+- ``normalize``: ImageNet mean/std.
+- ``random_multi_erasing``: coarse-dropout AFTER normalization
+  (/root/reference/utils/augment.py:16-47): an ``hs x hs`` Bernoulli grid
+  nearest-upsampled and multiplied in, with hs = int(1/dot_size) traced —
+  implemented via per-pixel cell gather from a fixed-size random grid so
+  shapes stay static under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+# hs = int(1/dot_size), dot_size in [0.05, 0.3] -> hs in [3, 20]
+_MAX_ERASE_GRID = 20
+
+
+def to_float(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] -> float32 [0,1] (torchvision ToTensor, minus the HWC->CHW
+    transpose: we stay NHWC)."""
+    return img_u8.astype(jnp.float32) / 255.0
+
+
+def normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet normalization over the trailing channel axis
+    (/root/reference/main.py:38-39,47)."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def resize_bilinear(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Antialiased bilinear resize of (..., H, W, C) to (..., size, size, C)."""
+    out_shape = (*img.shape[:-3], size, size, img.shape[-1])
+    if img.shape[-3:-1] == (size, size):
+        return img
+    return jax.image.resize(img, out_shape, method="linear", antialias=True)
+
+
+# ---------------------------------------------------------------------------
+# Color jitter
+# ---------------------------------------------------------------------------
+
+_GRAY_W = jnp.array([0.299, 0.587, 0.114], jnp.float32)  # ITU-R 601-2 luma
+
+
+def _blend(a: jnp.ndarray, b: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(f * a + (1.0 - f) * b, 0.0, 1.0)
+
+
+def _jitter_one(img: jnp.ndarray, op: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """Apply jitter op {0: brightness, 1: contrast, 2: saturation} to (H,W,C)."""
+    gray = jnp.tensordot(img, _GRAY_W, axes=([-1], [0]))[..., None]
+
+    def brightness(x):
+        return _blend(x, jnp.zeros_like(x), factor)
+
+    def contrast(x):
+        return _blend(x, jnp.mean(gray), factor)
+
+    def saturation(x):
+        return _blend(x, jnp.broadcast_to(gray, x.shape), factor)
+
+    return jax.lax.switch(op, [brightness, contrast, saturation], img)
+
+
+def color_jitter(
+    key: jax.Array,
+    img: jnp.ndarray,
+    brightness: float = 1.0,
+    contrast: float = 0.1,
+    saturation: float = 0.1,
+) -> jnp.ndarray:
+    """torchvision ColorJitter over one (H,W,C) float image in [0,1]:
+    factors ~ U[max(0, 1-x), 1+x], ops applied in random order."""
+    k_perm, k_b, k_c, k_s = jax.random.split(key, 4)
+    factors = jnp.stack(
+        [
+            jax.random.uniform(
+                k, (), minval=max(0.0, 1.0 - x), maxval=1.0 + x
+            )
+            for k, x in ((k_b, brightness), (k_c, contrast), (k_s, saturation))
+        ]
+    )
+    order = jax.random.permutation(k_perm, 3)
+
+    def body(i, x):
+        op = order[i]
+        return _jitter_one(x, op, factors[op])
+
+    return jax.lax.fori_loop(0, 3, body, img)
+
+
+# ---------------------------------------------------------------------------
+# Random affine (scale + translate, nearest resample, fill 0)
+# ---------------------------------------------------------------------------
+
+
+def _affine_warp_nearest(
+    img: jnp.ndarray, scale: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray
+) -> jnp.ndarray:
+    """Warp (H,W,C) about its center: out(p) = img(C + (p - C - t)/s)."""
+    h, w = img.shape[0], img.shape[1]
+    cy, cx = (h - 1) * 0.5, (w - 1) * 0.5
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    src_y = cy + (ys - cy - ty) / scale
+    src_x = cx + (xs - cx - tx) / scale
+    iy = jnp.round(src_y).astype(jnp.int32)
+    ix = jnp.round(src_x).astype(jnp.int32)
+    in_bounds = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(ix, 0, w - 1)
+    out = img[jnp.broadcast_to(iy, (h, w)), jnp.broadcast_to(ix, (h, w))]
+    return jnp.where(
+        jnp.broadcast_to(in_bounds, (h, w))[..., None], out, 0.0
+    )
+
+
+def random_affine(
+    key: jax.Array,
+    img: jnp.ndarray,
+    scale_range: Tuple[float, float] = (0.99, 1.01),
+    translate: Tuple[float, float] = (0.01, 0.01),
+) -> jnp.ndarray:
+    """torchvision RandomAffine(degrees=0, scale, translate) on one (H,W,C)
+    image (/root/reference/main.py:44): scale ~ U[lo, hi], shift
+    ~ U[-t*W, t*W] px, nearest interpolation, zero fill."""
+    h, w = img.shape[0], img.shape[1]
+    k_s, k_tx, k_ty = jax.random.split(key, 3)
+    scale = jax.random.uniform(k_s, (), minval=scale_range[0], maxval=scale_range[1])
+    max_dx, max_dy = translate[0] * w, translate[1] * h
+    tx = jax.random.uniform(k_tx, (), minval=-max_dx, maxval=max_dx)
+    ty = jax.random.uniform(k_ty, (), minval=-max_dy, maxval=max_dy)
+    return _affine_warp_nearest(img, scale, tx, ty)
+
+
+# ---------------------------------------------------------------------------
+# Random multi-erasing (coarse dropout)
+# ---------------------------------------------------------------------------
+
+
+def random_multi_erasing(
+    key: jax.Array,
+    img: jnp.ndarray,
+    p: float = 0.5,
+    proportion: Tuple[float, float] = (0.5, 0.6),
+    dot_size: Tuple[float, float] = (0.05, 0.3),
+) -> jnp.ndarray:
+    """Coarse-dropout mask multiply (/root/reference/utils/augment.py:16-47).
+
+    With prob ``p``: dot ~ U[dot_size], prop ~ U[proportion],
+    ``hs = int(1/dot)``; an hs x hs keep-mask (keep prob 1-prop) is
+    nearest-upsampled to the image and multiplied in. Static-shape version:
+    pixel (y, x) reads cell ``(floor(y*hs/H), floor(x*hs/W))`` of a fixed
+    MAX x MAX uniform grid thresholded at ``prop``.
+    """
+    h, w = img.shape[0], img.shape[1]
+    k_gate, k_dot, k_prop, k_grid = jax.random.split(key, 4)
+    dot = jax.random.uniform(k_dot, (), minval=dot_size[0], maxval=dot_size[1])
+    prop = jax.random.uniform(k_prop, (), minval=proportion[0], maxval=proportion[1])
+    hs = jnp.floor(1.0 / dot).astype(jnp.int32)
+
+    grid = jax.random.uniform(k_grid, (_MAX_ERASE_GRID, _MAX_ERASE_GRID))
+    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] * hs / h).astype(jnp.int32)
+    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] * hs / w).astype(jnp.int32)
+    cell = grid[jnp.broadcast_to(ys, (h, w)), jnp.broadcast_to(xs, (h, w))]
+    mask = (cell > prop).astype(img.dtype)[..., None]
+
+    gate = jax.random.uniform(k_gate, ()) <= p
+    return jnp.where(gate, img * mask, img)
+
+
+# ---------------------------------------------------------------------------
+# Full pipelines
+# ---------------------------------------------------------------------------
+
+
+def _train_preprocess_one(
+    key: jax.Array, img_u8: jnp.ndarray, image_size: int
+) -> jnp.ndarray:
+    k_jit, k_aff, k_erase = jax.random.split(key, 3)
+    x = to_float(img_u8)
+    x = color_jitter(k_jit, x)
+    x = random_affine(k_aff, x)
+    x = resize_bilinear(x, image_size)
+    x = normalize(x)
+    x = random_multi_erasing(k_erase, x)
+    return x
+
+
+@partial(jax.jit, static_argnums=(2,))
+def train_preprocess(
+    key: jax.Array, img_u8: jnp.ndarray, image_size: int = 224
+) -> jnp.ndarray:
+    """Train-time stack over a (B,H,W,3) uint8 batch -> (B,S,S,3) float32.
+
+    Order matches /root/reference/main.py:41-49: jitter -> affine -> to-float
+    semantics folded -> resize -> normalize -> multi-erasing.
+    """
+    keys = jax.random.split(key, img_u8.shape[0])
+    return jax.vmap(lambda k, im: _train_preprocess_one(k, im, image_size))(
+        keys, img_u8
+    )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def eval_preprocess(img_u8: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
+    """Deterministic eval stack (/root/reference/main.py:51-56): to-float ->
+    resize -> normalize. Numerically exact vs the reference for same-size
+    inputs (XGaze/MPII-NV patches are stored at 224^2, so resize is identity)."""
+    return normalize(resize_bilinear(to_float(img_u8), image_size))
+
+
+# Reference-compatible alias ("test_transform", /root/reference/main.py:51).
+test_preprocess = eval_preprocess

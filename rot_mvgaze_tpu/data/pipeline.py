@@ -1,0 +1,144 @@
+"""Host-side batching and device prefetch.
+
+Replaces the reference's torch ``DataLoader(num_workers=8)``
+(/root/reference/main.py:226-227) with a thread-pooled batch assembler
+(HDF5 reads release the GIL) plus a small device-prefetch ring that overlaps
+host->device transfer with TPU compute. Batches are dicts of stacked numpy
+arrays with the reference's key contract; images stay uint8 until the
+on-device preprocessing stage.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterable, Iterator, Optional
+
+import numpy as np
+
+_FLOAT_KEYS = ("gt_gaze", "gt_gaze_1", "head_pose_0", "head_pose_1")
+_INT_KEYS = ("idx_0", "idx_1")
+
+
+def collate(samples: list) -> Dict[str, np.ndarray]:
+    """Stack a list of sample dicts into one batch dict."""
+    batch: Dict[str, np.ndarray] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if k in _FLOAT_KEYS:
+            batch[k] = np.stack(vals).astype(np.float32)
+        elif k in _INT_KEYS:
+            batch[k] = np.asarray(vals, dtype=np.int32)
+        else:
+            batch[k] = np.stack(vals)
+    return batch
+
+
+class BatchLoader:
+    """Shuffling, thread-pooled batch iterator over an indexable dataset.
+
+    One pass over the dataset per ``__iter__`` (epoch); shuffling is driven by
+    ``seed`` + ``epoch`` so runs are reproducible. ``num_threads`` parallelizes
+    per-sample HDF5 reads; ``prefetch`` batches are assembled ahead of the
+    consumer on a background thread.
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        num_threads: int = 8,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            yield order[start : start + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list = []
+
+        def producer() -> None:
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in self._batch_indices():
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        q.put(collate(samples))
+            except BaseException as e:  # propagate to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        self.epoch += 1
+        if error:
+            raise error[0]
+
+
+def device_prefetch(
+    iterator: Iterable[Dict[str, np.ndarray]],
+    size: int = 2,
+    sharding: Optional[Any] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Move batches to device ``size`` steps ahead of the consumer.
+
+    With ``sharding`` set (e.g. a batch-sharded ``NamedSharding``), arrays land
+    directly in their final layout — the per-host shard path for multi-chip
+    data parallelism.
+    """
+    import collections
+
+    import jax
+
+    def put(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    buf: "collections.deque" = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,149 @@
+"""Data-layer tests over synthetic HDF5 fixtures (no real datasets needed)."""
+
+import numpy as np
+import pytest
+
+from rot_mvgaze_tpu.data import (
+    CAMERA_TAGS,
+    BatchLoader,
+    GazeDataset,
+    build_pair_index,
+    write_synthetic_h5,
+)
+from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
+
+
+class TestCameraTags:
+    def test_splits(self):
+        """Exact splits of /root/reference/dataset/gaze.py:39-44."""
+        assert CAMERA_TAGS["all"] == list(range(18))
+        assert CAMERA_TAGS["novel_test"] == [2, 5, 8, 11, 14, 17]
+        assert sorted(CAMERA_TAGS["novel_train"] + CAMERA_TAGS["novel_test"]) == list(
+            range(18)
+        )
+        assert len(CAMERA_TAGS["novel_train"]) == 12
+
+
+class TestPairIndex:
+    def test_all_cameras(self):
+        idx = build_pair_index([36], "all")
+        assert len(idx) == 36  # every row valid, every frame has partners
+        for file_i, a, b in idx:
+            assert file_i == 0
+            assert a // 18 == b // 18  # same frame
+            assert a != b
+
+    def test_novel_test_split(self):
+        idx = build_pair_index([36], "novel_test")
+        cams = set(CAMERA_TAGS["novel_test"])
+        assert len(idx) == 2 * len(cams)
+        for _, a, b in idx:
+            assert a % 18 in cams and b % 18 in cams
+
+    def test_deterministic_given_seed(self):
+        a = build_pair_index([54], "all", seed=7)
+        b = build_pair_index([54], "all", seed=7)
+        c = build_pair_index([54], "all", seed=8)
+        assert a == b
+        assert a != c
+
+    def test_single_camera_has_no_pairs(self):
+        # a frame with only one valid camera yields no sample
+        idx = build_pair_index([18], "novel_test", num_cameras=18)
+        # 6 novel cams in one frame -> each has 5 partners, 6 samples
+        assert len(idx) == 6
+
+
+class TestGazeDataset:
+    @pytest.fixture
+    def root(self, tmp_path):
+        write_synthetic_dataset(str(tmp_path), ["s00.h5", "s01.h5"], n_frames=2)
+        return str(tmp_path)
+
+    def test_sample_contract(self, root):
+        ds = GazeDataset(
+            "xgaze", root, "bgr", ["s00.h5", "s01.h5"], camera_tag="all", stereo=True
+        )
+        assert len(ds) == 2 * 2 * 18
+        s = ds[0]
+        assert s["img_0"].dtype == np.uint8
+        assert s["img_0"].shape == (32, 32, 3)
+        assert s["gt_gaze"].shape == (2,)
+        assert s["head_pose_0"].shape == (2,)
+        assert {"img_1", "gt_gaze_1", "head_pose_1", "idx_1"} <= set(s)
+        ds.close()
+
+    def test_bgr_flip(self, root):
+        import h5py
+
+        ds_bgr = GazeDataset("xgaze", root, "bgr", ["s00.h5"])
+        ds_rgb = GazeDataset("xgaze", root, "rgb", ["s00.h5"])
+        i0 = ds_bgr.idx_to_kv[0][1]
+        with h5py.File(f"{root}/s00.h5", "r") as f:
+            raw = np.asarray(f["face_patch"][i0])
+        np.testing.assert_array_equal(ds_bgr[0]["img_0"], raw[..., ::-1])
+        np.testing.assert_array_equal(ds_rgb[0]["img_0"], raw)
+
+    def test_mpiinv_pitch_flip(self, root):
+        import h5py
+
+        ds = GazeDataset("mpiinv", root, "rgb", ["s00.h5"])
+        i0 = ds.idx_to_kv[0][1]
+        with h5py.File(f"{root}/s00.h5", "r") as f:
+            raw_hp = np.asarray(f["face_head_pose"][i0], dtype=np.float64)
+        got = ds[0]["head_pose_0"]
+        assert got[0] == -raw_hp[0]
+        assert got[1] == raw_hp[1]
+
+    def test_non_stereo(self, root):
+        ds = GazeDataset("xgaze", root, "bgr", ["s00.h5"], stereo=False)
+        assert "img_1" not in ds[0]
+
+
+class TestBatchLoader:
+    @pytest.fixture
+    def ds(self, tmp_path):
+        write_synthetic_h5(str(tmp_path / "s.h5"), n_frames=3)
+        return GazeDataset("xgaze", str(tmp_path), "bgr", ["s.h5"])
+
+    def test_batch_shapes(self, ds):
+        loader = BatchLoader(ds, batch_size=8)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        b = batches[0]
+        assert b["img_0"].shape == (8, 32, 32, 3)
+        assert b["img_0"].dtype == np.uint8
+        assert b["gt_gaze"].dtype == np.float32
+        total = sum(x["img_0"].shape[0] for x in batches)
+        assert total == len(ds)
+
+    def test_drop_last(self, ds):
+        loader = BatchLoader(ds, batch_size=7, drop_last=True)
+        batches = list(loader)
+        assert all(b["img_0"].shape[0] == 7 for b in batches)
+        assert len(batches) == len(ds) // 7
+
+    def test_shuffle_reproducible_per_epoch(self, ds):
+        l1 = BatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+        l2 = BatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+        b1 = [b["idx_0"] for b in l1]
+        b2 = [b["idx_0"] for b in l2]
+        for a, b in zip(b1, b2):
+            np.testing.assert_array_equal(a, b)
+        # next epoch differs
+        b1b = [b["idx_0"] for b in l1]
+        assert any(
+            not np.array_equal(a, b) for a, b in zip(b1, b1b)
+        )
+
+    def test_device_prefetch(self, ds):
+        import jax
+
+        from rot_mvgaze_tpu.data import device_prefetch
+
+        loader = BatchLoader(ds, batch_size=4)
+        n = 0
+        for batch in device_prefetch(iter(loader), size=2):
+            assert isinstance(batch["img_0"], jax.Array)
+            n += 1
+        assert n == len(loader)
