@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Headline benchmark: flagship train-step throughput on one TPU chip.
+
+Measures the FULL training step of the shipped model config —
+FeatRotationSymm(backbone_depth=50, num_iter=3) over 2-view 224^2 batches:
+on-device augmentation + forward + loss + backward + Adam — in bfloat16
+compute / float32 params, steady-state (inputs pre-staged on device, jitted,
+state donated).
+
+Metric: images/sec/chip, counting BOTH 224^2 views of every sample (each view
+runs the full ResNet-50), i.e. 2*batch images per step.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md); the
+recorded ``vs_baseline`` compares against an estimated reference throughput
+on one A100 of 600 images/sec (PyTorch fp32 ResNet-50 fwd+bwd at
+~1200 img/s/A100 in public benchmarks, halved for the reference's dual-view
+dict pipeline + per-step host syncs at /root/reference/trainer.py:128). The
+BASELINE.json target is >= 5x A100/chip, i.e. vs_baseline >= 5.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_IMGS_PER_SEC = 600.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+    from rot_mvgaze_tpu.models import FeatRotationSymm
+    from rot_mvgaze_tpu.train.schedule import cyclic_triangular2
+    from rot_mvgaze_tpu.train.steps import make_train_step
+    from rot_mvgaze_tpu.train.trainer import TrainState, make_optimizer
+
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "128"))
+    size = 224
+
+    model = FeatRotationSymm(
+        backbone_depth=50, num_iter=3, dtype=jnp.bfloat16
+    )
+    metrics = IterationLoss(
+        loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
+    )
+    tx = make_optimizer(cyclic_triangular2(1e-6, 1e-3, 1000, 1000))
+
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "img_0": rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8),
+        "img_1": rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8),
+        "gt_gaze": rng.uniform(-1, 1, (batch, 2)).astype(np.float32),
+        "gt_gaze_1": rng.uniform(-1, 1, (batch, 2)).astype(np.float32),
+        "head_pose_0": rng.uniform(-0.8, 0.8, (batch, 2)).astype(np.float32),
+        "head_pose_1": rng.uniform(-0.8, 0.8, (batch, 2)).astype(np.float32),
+    }
+    device_batch = jax.device_put(host_batch)
+
+    init_data = {
+        "img_0": jnp.zeros((2, size, size, 3), jnp.float32),
+        "img_1": jnp.zeros((2, size, size, 3), jnp.float32),
+        "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+    train_step = jax.jit(
+        make_train_step(model, metrics, tx, image_size=size),
+        donate_argnums=(0,),
+    )
+
+    # warmup / compile
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        state, stats = train_step(state, device_batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, stats = train_step(
+            state, device_batch, jax.random.fold_in(key, 100 + i)
+        )
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = 2 * batch * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rotmv_r50_train_step_throughput",
+                "value": round(imgs_per_sec, 1),
+                "unit": "images/sec/chip (2-view 224^2, fwd+bwd+adam, bf16)",
+                "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Command-line entry point, flag-compatible with /root/reference/main.py.
+
+Usage (identical to the reference, /root/reference/main.py:65-118,210-257)::
+
+    python main.py --exp_name {xgaze2mpiinv,mpiinv2xgaze,xgaze,mpiinv}_{known,novel} \
+        --mode {train,test} [--ckpt_resume PATH] [--batch_size N] ...
+
+Dataset roots come from ``data_path.yaml`` next to the repo's ``main.py``
+(user-created, /root/reference/README.md:22-26) with keys ``xgaze``/``mpiinv``.
+Extra flags beyond the reference: ``--backbone_depth``, ``--num_iter``,
+``--scheduler_step``, ``--image_size``, ``--bf16``, ``--num_devices``,
+``--share_weights/--encode_rotmat/--share_feature/--ignore_rotmat`` (the
+reference hardcodes the shipped config at main.py:231-236).
+
+The reference ignores ``--epochs`` and always trains 15
+(/root/reference/trainer.py:65); here ``--epochs`` is honored, with the same
+default of 15.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import os.path as osp
+import sys
+from types import SimpleNamespace
+from typing import Optional, Tuple
+
+import yaml
+
+PROJ_DIR = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def get_parser(**kwargs) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(**kwargs)
+    p.add_argument("--mode", type=str, choices=["train", "test"], default="train")
+    p.add_argument("--exp_name", type=str)
+    p.add_argument("-out", "--output_dir", type=str, default="./logs")
+    p.add_argument("--ckpt_resume", type=str, default=None,
+                   help="resume from checkpoint (.msgpack or torch .pth.tar)")
+    p.add_argument("--print_freq", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host loader threads")
+    p.add_argument("--batch_size", type=int, default=50)
+    p.add_argument("--test_batch_size", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--save_epoch", type=int, default=10)
+    # --- extensions over the reference CLI ---
+    p.add_argument("--backbone_depth", type=int, default=50, choices=[18, 50])
+    p.add_argument("--num_iter", type=int, default=3)
+    p.add_argument("--share_weights", type=str2bool, default=False)
+    p.add_argument("--encode_rotmat", type=str2bool, default=False)
+    p.add_argument("--share_feature", type=str2bool, default=False)
+    p.add_argument("--ignore_rotmat", type=str2bool, default=False)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--scheduler_step", type=str, default="epoch",
+                   choices=["epoch", "iteration"],
+                   help="'epoch' reproduces the reference's per-epoch "
+                        "CyclicLR stepping quirk")
+    p.add_argument("--bf16", type=str2bool, default=False,
+                   help="bfloat16 compute (params stay f32)")
+    p.add_argument("--data_path", type=str, default=None,
+                   help="override path to data_path.yaml")
+    return p
+
+
+def _load_subjects(name: str) -> list:
+    path = osp.join(PROJ_DIR, "configs", "subject", f"{name}.yaml")
+    with open(path) as f:
+        return yaml.safe_load(f)["subject"]
+
+
+def _load_data_paths(override: Optional[str]) -> dict:
+    path = override or osp.join(PROJ_DIR, "data_path.yaml")
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def configure_dataset(
+    exp_name: str, data_paths: dict, seed: int = 0
+) -> Tuple["GazeDataset", "GazeDataset"]:  # noqa: F821
+    """exp_name -> (train_dataset, test_dataset); exact mapping of
+    /root/reference/main.py:121-209."""
+    from rot_mvgaze_tpu.data import GazeDataset
+
+    dataset_setting, headpose_setting = exp_name.split("_")[0], exp_name.split("_")[1]
+    if headpose_setting == "known":
+        cam_train, cam_test = "all", "all"
+    elif headpose_setting == "novel":
+        cam_train, cam_test = "novel_train", "novel_test"
+    else:
+        raise NotImplementedError(exp_name)
+
+    specs = {
+        "xgaze2mpiinv": (("xgaze", "bgr"), ("mpiinv", "rgb")),
+        "mpiinv2xgaze": (("mpiinv", "rgb"), ("xgaze", "bgr")),
+        "xgaze": (("xgaze", "bgr"), ("xgaze", "bgr")),
+        "mpiinv": (("mpiinv", "rgb"), ("mpiinv", "rgb")),
+    }
+    if dataset_setting not in specs:
+        raise NotImplementedError(exp_name)
+    (train_name, train_color), (test_name, test_color) = specs[dataset_setting]
+
+    train_dataset = GazeDataset(
+        dataset_name=train_name,
+        dataset_path=data_paths[train_name],
+        color_type=train_color,
+        keys_to_use=_load_subjects(train_name),
+        camera_tag=cam_train,
+        stereo=True,
+        seed=seed,
+    )
+    test_dataset = GazeDataset(
+        dataset_name=test_name,
+        dataset_path=data_paths[test_name],
+        color_type=test_color,
+        keys_to_use=_load_subjects(test_name),
+        camera_tag=cam_test,
+        stereo=True,
+        seed=seed,
+    )
+    return train_dataset, test_dataset
+
+
+def build_experiment(config: SimpleNamespace):
+    """Wire datasets, model, loss, trainer (parity:
+    /root/reference/main.py:210-248)."""
+    import jax.numpy as jnp
+
+    from rot_mvgaze_tpu.data import BatchLoader
+    from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+    from rot_mvgaze_tpu.models import FeatRotationSymm
+    from rot_mvgaze_tpu.train import Trainer
+    from rot_mvgaze_tpu.utils import set_seed
+
+    set_seed(config.seed)
+    data_paths = _load_data_paths(config.data_path)
+    train_dataset, test_dataset = configure_dataset(
+        config.exp_name, data_paths, seed=config.seed
+    )
+    train_loader = BatchLoader(
+        train_dataset,
+        batch_size=config.batch_size,
+        shuffle=True,
+        seed=config.seed,
+        drop_last=True,
+        num_threads=config.num_workers,
+    )
+    test_loader = BatchLoader(
+        test_dataset,
+        batch_size=config.test_batch_size,
+        shuffle=False,
+        num_threads=config.num_workers,
+    )
+
+    model = FeatRotationSymm(
+        backbone_depth=config.backbone_depth,
+        num_iter=config.num_iter,
+        share_weights=config.share_weights,
+        encode_rotmat=config.encode_rotmat,
+        share_feature=config.share_feature,
+        ignore_rotmat=config.ignore_rotmat,
+        dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+    )
+    # Shipped loss stack (/root/reference/main.py:239-240).
+    metrics = IterationLoss(
+        loss=StereoL1Loss(
+            rel_weight=0.01, reference_decay=1.0, distance_metric="angular_error"
+        ),
+        iter_decay=0.5,
+    )
+    trainer = Trainer(
+        config=config,
+        model=model,
+        metrics=metrics,
+        train_loader=train_loader,
+        test_loader=test_loader,
+    )
+    return trainer
+
+
+def main(argv=None) -> int:
+    parser = get_parser()
+    args, _unknown = parser.parse_known_args(argv)
+
+    now_day = datetime.datetime.now().strftime("%Y-%m-%d")
+    now_time = datetime.datetime.now().strftime("%H-%M-%S")
+    args.output_dir = osp.join(args.output_dir, now_day, now_time)
+    config = SimpleNamespace(**vars(args))
+
+    trainer = build_experiment(config)
+    if config.mode == "train":
+        trainer.train()
+    else:
+        assert config.ckpt_resume is not None, "ckpt_resume is None"
+        trainer.test(-1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,17 @@
+"""Device-mesh / sharding utilities for data-parallel training.
+
+The reference is single-process single-GPU (/root/reference/main.py:212);
+here scale-out is first-class: a 1-D ``Mesh(('data',))`` with batch-sharded
+inputs and replicated params. Gradient all-reduce and cross-replica BatchNorm
+statistics fall out of GSPMD (XLA inserts the ICI collectives from the
+sharding annotations) — no hand-written communication.
+"""
+
+from rot_mvgaze_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]

@@ -1,0 +1,77 @@
+"""Checkpointing: params + batch_stats + opt_state + step.
+
+Subsumes the reference's epoch-granular ``torch.save(state_dict())``
+(/root/reference/trainer.py:150-160, which drops optimizer/schedule state);
+restoring here resumes the optimizer exactly.
+
+Format: single-file msgpack via ``flax.serialization`` — self-describing
+(restorable without a template via ``msgpack_restore``), host-independent,
+and trivially rsync-able. ``save_state_orbax``/``restore_state_orbax`` offer
+the Orbax directory format for async / multi-host checkpointing at scale.
+Torch ``.pth.tar`` interop lives in rot_mvgaze_tpu.compat.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+from flax import serialization
+
+
+def save_state(path: str, state: Any) -> str:
+    """Save any pytree (TrainState or bare variables) to one msgpack file."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    return path
+
+
+save_variables = save_state
+
+
+def restore_state(path: str, template: Any) -> Any:
+    """Restore into an existing pytree structure (exact round-trip)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def restore_tree(path: str) -> Any:
+    """Restore a checkpoint with its saved structure (nested dicts)."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore model variables from either a full TrainState checkpoint or a
+    bare ``{'params', 'batch_stats'}`` checkpoint."""
+    tree = restore_tree(path)
+    if "params" not in tree:
+        raise ValueError(f"checkpoint at {path} has no 'params': {list(tree)}")
+    return {
+        "params": tree["params"],
+        "batch_stats": tree.get("batch_stats", template.get("batch_stats", {})),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Orbax directory format (async-capable, multi-host) — optional path.
+# ---------------------------------------------------------------------------
+
+
+def save_state_orbax(path: str, state: Any) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def restore_state_orbax(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), template)

@@ -1,0 +1,125 @@
+"""Pure train/eval step builders — shared by the Trainer, the multi-chip
+dry-run entry, and the benchmarks.
+
+Each builder closes over static config (model, loss, optimizer, image size)
+and returns a pure jittable function. The train step contains the ENTIRE
+per-iteration pipeline: on-device augmentation of both uint8 views,
+head-pose -> SO(3), forward, loss, backward, Adam update — the host's only
+job is feeding uint8 batches (contrast /root/reference/trainer.py:117-147,
+where augmentation runs on CPU workers and loss/error sync to host per step).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rot_mvgaze_tpu.augment.ops import _train_preprocess_one, eval_preprocess
+from rot_mvgaze_tpu.geometry import rotation_matrix_2d
+from rot_mvgaze_tpu.geometry.gaze import angular_error as angular_error_jnp
+
+
+def prepare_rotations(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """head_pose -> rotation matrices + float labels (parity:
+    Trainer.prepare_dual_input, /root/reference/trainer.py:99-114)."""
+    return {
+        "rot_0": rotation_matrix_2d(batch["head_pose_0"].astype(jnp.float32)),
+        "rot_1": rotation_matrix_2d(batch["head_pose_1"].astype(jnp.float32)),
+        "gt_gaze": batch["gt_gaze"].astype(jnp.float32),
+        "gt_gaze_1": batch["gt_gaze_1"].astype(jnp.float32),
+    }
+
+
+def augment_views(
+    key: jax.Array, batch: Dict[str, Any], image_size: int
+) -> Dict[str, jnp.ndarray]:
+    """Apply the stochastic train stack to both uint8 views."""
+    k0, k1 = jax.random.split(key)
+    n = batch["img_0"].shape[0]
+    out = {}
+    for view, k in (("img_0", k0), ("img_1", k1)):
+        keys = jax.random.split(k, n)
+        out[view] = jax.vmap(
+            lambda kk, im: _train_preprocess_one(kk, im, image_size)
+        )(keys, batch[view])
+    return out
+
+
+def make_train_step(
+    model: Any,
+    metrics: Callable[[Dict[str, Any]], jnp.ndarray],
+    tx: optax.GradientTransformation,
+    image_size: int = 224,
+    schedule: Callable = None,
+    with_images: bool = False,
+) -> Callable:
+    """Returns ``(state, batch, key) -> (state, stats)``.
+
+    ``state`` is any pytree with .step/.params/.batch_stats/.opt_state
+    (rot_mvgaze_tpu.train.trainer.TrainState).
+    """
+    from rot_mvgaze_tpu.train.trainer import TrainState
+
+    def train_step(state, batch: Dict[str, Any], key: jax.Array):
+        imgs = augment_views(key, batch, image_size)
+        data = {**imgs, **prepare_rotations(batch)}
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                data,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return metrics(out), (out, updates["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        stats = {
+            "loss_gaze": loss,
+            "error_gaze": jnp.mean(
+                angular_error_jnp(out["pred_gaze"], data["gt_gaze"])
+            ),
+        }
+        if schedule is not None:
+            stats["lr"] = schedule(state.step)
+        if with_images:
+            stats["img_0"] = data["img_0"][:8]
+            stats["img_1"] = data["img_1"][:8]
+        return new_state, stats
+
+    return train_step
+
+
+def make_eval_step(model: Any, image_size: int = 224) -> Callable:
+    """Returns ``(params, batch_stats, batch) -> {pred_gaze, gt_gaze, ...}``."""
+
+    def eval_step(params, batch_stats, batch: Dict[str, Any]):
+        data = {
+            "img_0": eval_preprocess(batch["img_0"], image_size),
+            "img_1": eval_preprocess(batch["img_1"], image_size),
+            **prepare_rotations(batch),
+        }
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, data, train=False
+        )
+        return {
+            "pred_gaze": out["pred_gaze"],
+            "gt_gaze": data["gt_gaze"],
+            "img_0": data["img_0"][:8],
+            "img_1": data["img_1"][:8],
+        }
+
+    return eval_step

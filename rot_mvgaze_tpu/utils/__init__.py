@@ -1,0 +1,10 @@
+"""Shared utilities: seeding, meters, parameter summaries.
+
+Reference: /root/reference/utils/{helper.py,util.py}.
+"""
+
+from rot_mvgaze_tpu.utils.helper import AverageMeter
+from rot_mvgaze_tpu.utils.seed import set_seed
+from rot_mvgaze_tpu.utils.summary import count_parameters, parameter_table
+
+__all__ = ["AverageMeter", "set_seed", "count_parameters", "parameter_table"]

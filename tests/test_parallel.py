@@ -1,0 +1,102 @@
+"""Data-parallel tests on the 8-virtual-device CPU mesh."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rot_mvgaze_tpu.parallel import batch_sharding, make_mesh, shard_batch
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("data",)
+
+    def test_shard_batch(self):
+        mesh = make_mesh()
+        batch = {"img_0": np.zeros((16, 8, 8, 3), np.uint8), "n": np.int32(3)}
+        out = shard_batch(batch, mesh)
+        assert out["img_0"].sharding.spec == batch_sharding(mesh).spec
+        # scalar replicated
+        assert out["n"].sharding.is_fully_replicated
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as graft
+
+        graft.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as graft
+
+        fn, (variables, data) = graft.entry()
+        out = jax.jit(fn)(variables, data)
+        assert out.shape == (8, 2)
+
+
+class TestDataParallelEquivalence:
+    def test_sharded_step_matches_single_device(self):
+        """One DP train step over the mesh == the same step on one device."""
+        from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+        from rot_mvgaze_tpu.models import FeatRotationSymm
+        from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
+        from rot_mvgaze_tpu.train.schedule import cyclic_triangular2
+        from rot_mvgaze_tpu.train.steps import make_train_step
+        from rot_mvgaze_tpu.train.trainer import TrainState, make_optimizer
+
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        metrics = IterationLoss(loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5)
+        tx = make_optimizer(cyclic_triangular2(1e-4, 1e-4, 5, 5))
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "img_0": rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8),
+            "img_1": rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8),
+            "gt_gaze": rng.uniform(-1, 1, (8, 2)).astype(np.float32),
+            "gt_gaze_1": rng.uniform(-1, 1, (8, 2)).astype(np.float32),
+            "head_pose_0": rng.uniform(-0.8, 0.8, (8, 2)).astype(np.float32),
+            "head_pose_1": rng.uniform(-0.8, 0.8, (8, 2)).astype(np.float32),
+        }
+        init_data = {
+            "img_0": jnp.zeros((2, 32, 32, 3)),
+            "img_1": jnp.zeros((2, 32, 32, 3)),
+            "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+            "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        }
+        variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
+
+        def fresh_state():
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=tx.init(variables["params"]),
+            )
+
+        step = make_train_step(model, metrics, tx, image_size=32)
+        key = jax.random.PRNGKey(7)
+
+        # single device
+        s1, stats1 = jax.jit(step)(fresh_state(), batch, key)
+
+        # 8-device mesh
+        mesh = make_mesh()
+        rep = replicated_sharding(mesh)
+        state8 = jax.device_put(fresh_state(), rep)
+        batch8 = shard_batch(batch, mesh)
+        s8, stats8 = jax.jit(step, out_shardings=(rep, rep))(state8, batch8, key)
+
+        np.testing.assert_allclose(
+            float(stats1["loss_gaze"]), float(stats8["loss_gaze"]), rtol=1e-5
+        )
+        a = np.asarray(s1.params["gaze_estimator_0"]["dense_1"]["kernel"])
+        b = np.asarray(s8.params["gaze_estimator_0"]["dense_1"]["kernel"])
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -1,0 +1,140 @@
+"""End-to-end trainer tests on synthetic data (tiny model, CPU)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from types import SimpleNamespace
+
+from rot_mvgaze_tpu.data import BatchLoader, GazeDataset
+from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
+from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+from rot_mvgaze_tpu.models import FeatRotationSymm
+from rot_mvgaze_tpu.train import Trainer
+from rot_mvgaze_tpu.train.schedule import cyclic_triangular2
+
+
+def _make_config(tmp_path, **overrides):
+    cfg = dict(
+        mode="train",
+        exp_name="synthetic",
+        output_dir=str(tmp_path / "logs"),
+        ckpt_resume=None,
+        print_freq=2,
+        seed=0,
+        batch_size=6,
+        test_batch_size=6,
+        epochs=1,
+        save_epoch=1,
+        image_size=32,
+        scheduler_step="epoch",
+    )
+    cfg.update(overrides)
+    return SimpleNamespace(**cfg)
+
+
+@pytest.fixture
+def loaders(tmp_path):
+    root = tmp_path / "data"
+    root.mkdir()
+    write_synthetic_dataset(str(root), ["s00.h5"], n_frames=2, image_size=32)
+    train_ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
+    test_ds = GazeDataset("mpiinv", str(root), "rgb", ["s00.h5"], seed=0)
+    return (
+        BatchLoader(train_ds, batch_size=6, shuffle=True, drop_last=True),
+        BatchLoader(test_ds, batch_size=6),
+    )
+
+
+def _metrics():
+    return IterationLoss(loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5)
+
+
+class TestSchedule:
+    def test_triangular2_shape(self):
+        sched = cyclic_triangular2(1e-6, 1e-3, step_size_up=10, step_size_down=10)
+        lrs = [float(sched(t)) for t in range(41)]
+        assert lrs[0] == pytest.approx(1e-6)
+        assert lrs[10] == pytest.approx(1e-3)  # peak of first cycle
+        assert lrs[20] == pytest.approx(1e-6)  # back to base
+        # second cycle amplitude halved (triangular2)
+        assert lrs[30] == pytest.approx(1e-6 + (1e-3 - 1e-6) * 0.5)
+
+    def test_epoch_stepping_quirk(self):
+        sched = cyclic_triangular2(
+            0.0, 1.0, step_size_up=10, step_size_down=10, steps_per_epoch=100
+        )
+        # within one epoch the LR is frozen
+        assert float(sched(0)) == float(sched(99))
+        assert float(sched(100)) == pytest.approx(0.1)
+
+
+class TestTrainerEndToEnd:
+    def test_train_one_epoch_and_eval(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+
+        err0 = trainer.test(-1)
+        assert np.isfinite(err0) and err0 > 0
+
+        trainer.train_one_epoch(0)
+        assert trainer.train_iter == len(train_loader)
+
+        err1 = trainer.test(0)
+        assert np.isfinite(err1)
+
+        # observability surface
+        assert os.path.exists(os.path.join(trainer.output_dir, "test_results.txt"))
+        assert os.path.exists(os.path.join(trainer.output_dir, "config.json"))
+        tb_dir = os.path.join(trainer.output_dir, "tensorboard")
+        assert any(f.startswith("events.out.tfevents") for f in os.listdir(tb_dir))
+
+    def test_loss_decreases_on_overfit(self, tmp_path, loaders):
+        """Sanity: repeated steps on the same tiny set reduce the loss."""
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, scheduler_step="iteration", epochs=1)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+
+        import jax
+
+        batch = next(iter(train_loader))
+        batch = jax.tree.map(jnp.asarray, batch)
+        losses = []
+        # fixed PRNG key -> deterministic augmentation -> clean overfit signal
+        for _ in range(10):
+            trainer.state, stats = trainer._train_step(
+                trainer.state, batch, jax.random.PRNGKey(0)
+            )
+            losses.append(float(stats["loss_gaze"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_checkpoint_roundtrip(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        path = trainer.save_checkpoint(add="unit")
+
+        cfg2 = _make_config(tmp_path, ckpt_resume=path)
+        trainer2 = Trainer(cfg2, model, _metrics(), train_loader, test_loader)
+        a = np.asarray(
+            trainer.state.params["backbone"]["conv1"]["kernel"]
+        )
+        b = np.asarray(trainer2.state.params["backbone"]["conv1"]["kernel"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_eval_matches_reference_metric_definition(self, tmp_path, loaders):
+        """test() must equal float64 numpy angular error over collected preds."""
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        err = trainer.test(-1)
+        with open(os.path.join(trainer.output_dir, "test_results.txt")) as f:
+            logged = float(f.read().strip().split("error: ")[1])
+        assert err == pytest.approx(logged)
