@@ -73,6 +73,11 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="bfloat16 compute (params stay f32)")
     p.add_argument("--data_path", type=str, default=None,
                    help="override path to data_path.yaml")
+    p.add_argument("--native_loader", type=str2bool, default=True,
+                   help="use the C++ packed-cache loader (falls back to the "
+                        "h5py thread loader if unavailable)")
+    p.add_argument("--use_pallas_fusion", type=str2bool, default=False,
+                   help="Pallas fused rotate+concat+GEMM fusion kernels")
     return p
 
 
@@ -150,20 +155,56 @@ def build_experiment(config: SimpleNamespace):
     train_dataset, test_dataset = configure_dataset(
         config.exp_name, data_paths, seed=config.seed
     )
-    train_loader = BatchLoader(
-        train_dataset,
-        batch_size=config.batch_size,
-        shuffle=True,
-        seed=config.seed,
-        drop_last=True,
-        num_threads=config.num_workers,
-    )
-    test_loader = BatchLoader(
-        test_dataset,
-        batch_size=config.test_batch_size,
-        shuffle=False,
-        num_threads=config.num_workers,
-    )
+
+    train_loader = test_loader = None
+    if getattr(config, "native_loader", True):
+        try:
+            from rot_mvgaze_tpu.data.native import (
+                NativeBatchLoader,
+                NativePool,
+                PackedGazeDataset,
+            )
+
+            if NativePool.available():
+                nat_train = PackedGazeDataset(
+                    train_dataset.dataset_name,
+                    osp.dirname(train_dataset.file_paths[0]),
+                    train_dataset.color_type,
+                    [osp.basename(p) for p in train_dataset.file_paths],
+                    camera_tag=train_dataset.camera_tag,
+                    seed=config.seed,
+                )
+                nat_test = PackedGazeDataset(
+                    test_dataset.dataset_name,
+                    osp.dirname(test_dataset.file_paths[0]),
+                    test_dataset.color_type,
+                    [osp.basename(p) for p in test_dataset.file_paths],
+                    camera_tag=test_dataset.camera_tag,
+                    seed=config.seed,
+                )
+                train_loader = NativeBatchLoader(
+                    nat_train, config.batch_size, shuffle=True,
+                    seed=config.seed, drop_last=True,
+                )
+                test_loader = NativeBatchLoader(nat_test, config.test_batch_size)
+                print("using native packed-cache loader")
+        except Exception as e:  # fall back to the h5py thread loader
+            print(f"native loader unavailable ({e}); using h5py loader")
+    if train_loader is None:
+        train_loader = BatchLoader(
+            train_dataset,
+            batch_size=config.batch_size,
+            shuffle=True,
+            seed=config.seed,
+            drop_last=True,
+            num_threads=config.num_workers,
+        )
+        test_loader = BatchLoader(
+            test_dataset,
+            batch_size=config.test_batch_size,
+            shuffle=False,
+            num_threads=config.num_workers,
+        )
 
     model = FeatRotationSymm(
         backbone_depth=config.backbone_depth,
@@ -173,6 +214,7 @@ def build_experiment(config: SimpleNamespace):
         share_feature=config.share_feature,
         ignore_rotmat=config.ignore_rotmat,
         dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+        use_pallas_fusion=getattr(config, "use_pallas_fusion", False),
     )
     # Shipped loss stack (/root/reference/main.py:239-240).
     metrics = IterationLoss(

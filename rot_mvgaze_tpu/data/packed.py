@@ -1,0 +1,123 @@
+"""Packed sample cache: the on-disk format for the native (C++) loader.
+
+HDF5 random reads through h5py serialize on a global lock and decompress
+per-access — the reference hides this behind 8 worker processes
+(/root/reference/main.py:226). For TPU-rate input we instead pack each
+subject archive ONCE into a flat, uncompressed, mmap-able cache; batch
+assembly then becomes pure parallel memcpy (rot_mvgaze_tpu/data/native.py +
+native/loader.cpp), with zero per-sample Python or HDF5 involvement.
+
+Layout (little-endian, SoA):
+
+    offset 0   : magic  b"RMGPACK1"
+    offset 8   : u64 n_samples
+    offset 16  : u32 height, u32 width, u32 channels, u32 flags
+    offset 32  : u64 img_off, u64 gaze_off, u64 pose_off   (absolute)
+    img  : n * H * W * C  uint8   (RGB order — color conversion applied here)
+    gaze : n * 2          float32
+    pose : n * 2          float32 (mpiinv pitch sign flip applied here)
+
+All per-sample transforms that the reference does at read time
+(/root/reference/dataset/gaze.py:106-124) are baked in at pack time, so the
+hot path is transform-free.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+MAGIC = b"RMGPACK1"
+HEADER_SIZE = 56
+
+
+def pack_hdf5(
+    h5_path: str,
+    out_path: str,
+    dataset_name: str = "xgaze",
+    color_type: str = "bgr",
+    chunk: int = 512,
+) -> str:
+    """Convert one subject HDF5 archive into a packed cache file."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        n, h, w, c = f["face_patch"].shape
+        gaze = np.asarray(f["face_gaze"], dtype=np.float32)
+        pose = np.asarray(f["face_head_pose"], dtype=np.float32)
+        if dataset_name == "mpiinv":
+            pose[:, 0] *= -1  # pitch sign convention
+        img_off = HEADER_SIZE
+        gaze_off = img_off + n * h * w * c
+        pose_off = gaze_off + gaze.nbytes
+        with open(out_path, "wb") as out:
+            out.write(MAGIC)
+            out.write(struct.pack("<Q", n))
+            out.write(struct.pack("<IIII", h, w, c, 0))
+            out.write(struct.pack("<QQQ", img_off, gaze_off, pose_off))
+            assert out.tell() == HEADER_SIZE
+            for start in range(0, n, chunk):
+                block = np.asarray(f["face_patch"][start : start + chunk])
+                if color_type == "bgr":
+                    block = block[..., ::-1]
+                out.write(np.ascontiguousarray(block).tobytes())
+            out.write(gaze.tobytes())
+            out.write(pose.tobytes())
+    return out_path
+
+
+def read_header(path: str) -> Tuple[int, int, int, int, int, int, int]:
+    """Returns (n, h, w, c, img_off, gaze_off, pose_off)."""
+    with open(path, "rb") as f:
+        head = f.read(HEADER_SIZE)
+    assert head[:8] == MAGIC, f"{path}: bad magic"
+    n = struct.unpack_from("<Q", head, 8)[0]
+    h, w, c, _flags = struct.unpack_from("<IIII", head, 16)
+    img_off, gaze_off, pose_off = struct.unpack_from("<QQQ", head, 32)
+    return n, h, w, c, img_off, gaze_off, pose_off
+
+
+class PackedFile:
+    """Pure-numpy mmap view of one packed cache file (fallback / testing;
+    the fast path is the C++ pool in rot_mvgaze_tpu.data.native)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        (self.n, self.h, self.w, self.c, img_off, gaze_off, pose_off) = (
+            read_header(path)
+        )
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        self.images = self._mm[img_off : img_off + self.n * self.h * self.w * self.c]
+        self.images = self.images.reshape(self.n, self.h, self.w, self.c)
+        self.gaze = (
+            self._mm[gaze_off : gaze_off + self.n * 8]
+            .view(np.float32)
+            .reshape(self.n, 2)
+        )
+        self.head_pose = (
+            self._mm[pose_off : pose_off + self.n * 8]
+            .view(np.float32)
+            .reshape(self.n, 2)
+        )
+
+
+def pack_dataset(
+    dataset_path: str,
+    subjects: list,
+    cache_dir: str,
+    dataset_name: str,
+    color_type: str,
+) -> list:
+    """Pack every subject archive that isn't cached yet; returns cache paths."""
+    os.makedirs(cache_dir, exist_ok=True)
+    out = []
+    for name in subjects:
+        src = os.path.join(dataset_path, name)
+        dst = os.path.join(cache_dir, name + ".rmgpack")
+        if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+            pack_hdf5(src, dst, dataset_name=dataset_name, color_type=color_type)
+        out.append(dst)
+    return out

@@ -82,20 +82,96 @@ class IntensityBatchNorm(nn.Module):
         return x / (denom + self.eps).astype(x.dtype)
 
 
-class ImageFeatFuser(nn.Module):
-    """MLP fusing a view's image feature with the (rotated) other-view
-    rotatable feature. Parity: /root/reference/models/rot_mv.py:35-50."""
+class _DenseParams(nn.Module):
+    """Parameter holder with torch.nn.Linear-compatible init and the exact
+    param-tree layout of nn.Dense ({kernel, bias}) — lets the Pallas fused
+    path share checkpoints with the Mlp path."""
 
-    img_feat_dim: int
-    num_feat_vec: int = NUM_FEAT_VEC
+    fan_in: int
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> tuple:
+        from rot_mvgaze_tpu.models.blocks import torch_linear_init
+
+        kinit, binit = torch_linear_init(self.fan_in)
+        kernel = self.param(
+            "kernel", kinit, (self.fan_in, self.features), self.param_dtype
+        )
+        bias = self.param("bias", binit, (self.features,), self.param_dtype)
+        return kernel, bias
+
+
+class _FusedFuserMlp(nn.Module):
+    """Pallas-backed twin of the 2-layer fuser Mlp: identical params
+    (``dense_0``/``dense_1``), rotation folded into the first GEMM
+    (rot_mvgaze_tpu.ops.fusion)."""
+
+    in_dim: int
+    hidden: int
+    out: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
-        self, img_feat: jnp.ndarray, rotatable_feat: jnp.ndarray
+        self, img_feat: jnp.ndarray, rot_feat: jnp.ndarray, rot: jnp.ndarray
+    ) -> jnp.ndarray:
+        from rot_mvgaze_tpu.ops.fusion import fused_image_feat_fuser
+
+        w1, b1 = _DenseParams(
+            self.in_dim, self.hidden, self.param_dtype, name="dense_0"
+        )()
+        w2, b2 = _DenseParams(
+            self.hidden, self.out, self.param_dtype, name="dense_1"
+        )()
+        return fused_image_feat_fuser(
+            img_feat.astype(self.dtype),
+            rot_feat.astype(self.dtype),
+            rot,
+            w1.astype(self.dtype),
+            b1.astype(jnp.float32),
+            w2.astype(self.dtype),
+            b2.astype(jnp.float32),
+        )
+
+
+class ImageFeatFuser(nn.Module):
+    """MLP fusing a view's image feature with the (rotated) other-view
+    rotatable feature. Parity: /root/reference/models/rot_mv.py:35-50.
+
+    Called as ``fuser(img_feat, other_feat, rot)``: the relative rotation is
+    applied inside (fused into the first GEMM on the Pallas path). Pass
+    ``rot=None`` to fuse the unrotated feature (ignore_rotmat ablation,
+    /root/reference/models/rot_mv.py:226-232).
+    """
+
+    img_feat_dim: int
+    num_feat_vec: int = NUM_FEAT_VEC
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        img_feat: jnp.ndarray,
+        rotatable_feat: jnp.ndarray,
+        rot: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         in_channel = self.img_feat_dim + self.num_feat_vec * 3
+        if self.use_pallas and rot is not None:
+            return _FusedFuserMlp(
+                in_dim=in_channel,
+                hidden=in_channel,
+                out=self.num_feat_vec * 3,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="fuser",
+            )(img_feat, rotatable_feat, rot)
+        if rot is not None:
+            rotatable_feat = _rotate(rot, rotatable_feat)
         flat = rotatable_feat.reshape(*rotatable_feat.shape[:-2], -1)
         in_feat = jnp.concatenate([img_feat, flat], axis=-1)
         return Mlp(
@@ -104,6 +180,16 @@ class ImageFeatFuser(nn.Module):
             param_dtype=self.param_dtype,
             name="fuser",
         )(in_feat)
+
+
+def _rotate(rot: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+    """(B,3,3) @ (B,3,V): small contraction dim — full precision."""
+    return jnp.einsum(
+        "bij,bjv->biv",
+        rot,
+        feat.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(feat.dtype)
 
 
 class ImageRotmatFeatFuser(nn.Module):
@@ -205,6 +291,7 @@ class FeatRotationSymm(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas_fusion: bool = False
 
     def setup(self) -> None:
         assert not (self.ignore_rotmat and self.encode_rotmat)
@@ -237,12 +324,16 @@ class FeatRotationSymm(nn.Module):
                     bn_axis_name=self.bn_axis_name,
                     name=f"img_fuser_{i}",
                 )
+            kwargs = {}
+            if fuser_cls is ImageFeatFuser:
+                kwargs["use_pallas"] = self.use_pallas_fusion
             return fuser_cls(
                 fc_dim,
                 self.num_feat_vec,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"img_fuser_{i}",
+                **kwargs,
             )
 
         def make_head(i: int):
@@ -293,15 +384,6 @@ class FeatRotationSymm(nn.Module):
             "initial_rot_feat_1": rotatable_feat_1,
         }
 
-        def rotate(rot: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
-            # (B,3,3) @ (B,3,V): small contraction dim — full precision.
-            return jnp.einsum(
-                "bij,bjv->biv",
-                rot,
-                feat.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(feat.dtype)
-
         for f_i in range(self.num_iter):
             m_i = 0 if self.share_weights else f_i
             img_fuser = self.img_fusers[m_i]
@@ -310,10 +392,10 @@ class FeatRotationSymm(nn.Module):
 
             if self.share_feature:
                 rotatable_feat_0 = img_fuser(
-                    img_feat_0, rotate(rot_10, rotatable_feat_1), train
+                    img_feat_0, _rotate(rot_10, rotatable_feat_1), train
                 )
                 rotatable_feat_1 = img_fuser(
-                    img_feat_1, rotate(rot_01, feat_0_prev), train
+                    img_feat_1, _rotate(rot_01, feat_0_prev), train
                 )
                 # NOTE: img_feat_{0,1} alias the INITIAL rotatable feats here
                 # (set above), matching /root/reference/models/rot_mv.py:201-203.
@@ -333,10 +415,10 @@ class FeatRotationSymm(nn.Module):
                 )
             else:
                 rotatable_feat_0 = img_fuser(
-                    img_feat_0, rotate(rot_10, rotatable_feat_1)
+                    img_feat_0, rotatable_feat_1, rot_10
                 ).reshape(-1, 3, self.num_feat_vec)
                 rotatable_feat_1 = img_fuser(
-                    img_feat_1, rotate(rot_01, feat_0_prev)
+                    img_feat_1, feat_0_prev, rot_01
                 ).reshape(-1, 3, self.num_feat_vec)
 
             if self.share_feature:

@@ -153,3 +153,21 @@ class TestFeatRotationSymm:
         assert all(
             p.dtype == jnp.float32 for p in jax.tree.leaves(vs["params"])
         )
+
+
+class TestPallasFusionPath:
+    def test_matches_xla_path(self):
+        """use_pallas_fusion=True shares params and matches the XLA path."""
+        data = _data(batch=2, size=32)
+        m_ref = FeatRotationSymm(backbone_depth=18, num_iter=2)
+        m_pal = FeatRotationSymm(
+            backbone_depth=18, num_iter=2, use_pallas_fusion=True
+        )
+        vs = m_ref.init(jax.random.PRNGKey(0), data)
+        vs2 = m_pal.init(jax.random.PRNGKey(0), data)
+        assert jax.tree.structure(vs) == jax.tree.structure(vs2)
+        out_ref = m_ref.apply(vs, data)
+        out_pal = m_pal.apply(vs, data)
+        np.testing.assert_allclose(
+            out_pal["pred_gaze"], out_ref["pred_gaze"], atol=2e-4, rtol=1e-4
+        )

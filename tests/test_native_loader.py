@@ -1,0 +1,114 @@
+"""Native (C++) packed-cache loader tests: pack format, gather correctness
+vs the h5py path, async double-buffering."""
+
+import numpy as np
+import pytest
+
+from rot_mvgaze_tpu.data import GazeDataset, write_synthetic_h5
+from rot_mvgaze_tpu.data.native import (
+    NativeBatchLoader,
+    NativePool,
+    PackedGazeDataset,
+)
+from rot_mvgaze_tpu.data.packed import PackedFile, pack_hdf5
+from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
+
+needs_native = pytest.mark.skipif(
+    not NativePool.available(), reason="no C++ toolchain"
+)
+
+
+class TestPackedFormat:
+    def test_pack_roundtrip(self, tmp_path):
+        import h5py
+
+        src = str(tmp_path / "s.h5")
+        write_synthetic_h5(src, n_frames=2, image_size=16)
+        dst = pack_hdf5(src, str(tmp_path / "s.pack"), "xgaze", "bgr")
+        pf = PackedFile(dst)
+        with h5py.File(src) as f:
+            raw_img = np.asarray(f["face_patch"])
+            raw_gaze = np.asarray(f["face_gaze"])
+            raw_pose = np.asarray(f["face_head_pose"])
+        assert pf.n == 36
+        np.testing.assert_array_equal(pf.images, raw_img[..., ::-1])  # BGR->RGB
+        np.testing.assert_allclose(pf.gaze, raw_gaze, atol=1e-7)
+        np.testing.assert_allclose(pf.head_pose, raw_pose, atol=1e-7)
+
+    def test_mpiinv_pitch_flip_baked(self, tmp_path):
+        import h5py
+
+        src = str(tmp_path / "s.h5")
+        write_synthetic_h5(src, n_frames=1, image_size=16)
+        dst = pack_hdf5(src, str(tmp_path / "s.pack"), "mpiinv", "rgb")
+        pf = PackedFile(dst)
+        with h5py.File(src) as f:
+            raw_pose = np.asarray(f["face_head_pose"])
+        np.testing.assert_allclose(pf.head_pose[:, 0], -raw_pose[:, 0], atol=1e-7)
+        np.testing.assert_allclose(pf.head_pose[:, 1], raw_pose[:, 1], atol=1e-7)
+
+
+@needs_native
+class TestNativePool:
+    def test_gather_matches_numpy(self, tmp_path):
+        src = str(tmp_path / "s.h5")
+        write_synthetic_h5(src, n_frames=3, image_size=16)
+        dst = pack_hdf5(src, str(tmp_path / "s.pack"), "xgaze", "bgr")
+        pool = NativePool([dst])
+        pf = PackedFile(dst)
+        rng = np.random.default_rng(0)
+        rows = rng.integers(0, pf.n, 40)
+        out = pool.gather(np.zeros(40, np.int32), rows)
+        np.testing.assert_array_equal(out["img"], pf.images[rows])
+        np.testing.assert_array_equal(out["gaze"], pf.gaze[rows])
+        np.testing.assert_array_equal(out["head_pose"], pf.head_pose[rows])
+
+    def test_multi_file_gather(self, tmp_path):
+        paths = []
+        for i in range(3):
+            src = str(tmp_path / f"s{i}.h5")
+            write_synthetic_h5(src, n_frames=1, image_size=16, seed=i)
+            paths.append(pack_hdf5(src, src + ".pack", "xgaze", "rgb"))
+        pool = NativePool(paths)
+        pfs = [PackedFile(p) for p in paths]
+        files = np.array([0, 1, 2, 2, 0], np.int32)
+        rows = np.array([0, 5, 17, 3, 11], np.int64)
+        out = pool.gather(files, rows)
+        for s, (fi, r) in enumerate(zip(files, rows)):
+            np.testing.assert_array_equal(out["img"][s], pfs[fi].images[r])
+
+
+@needs_native
+class TestNativeBatchLoader:
+    @pytest.fixture
+    def dataset(self, tmp_path):
+        write_synthetic_dataset(str(tmp_path), ["a.h5", "b.h5"], n_frames=2)
+        return PackedGazeDataset(
+            "xgaze", str(tmp_path), "bgr", ["a.h5", "b.h5"], seed=0
+        )
+
+    def test_matches_h5py_loader_contract(self, tmp_path, dataset):
+        """Native batches carry the same samples as the h5py GazeDataset."""
+        h5_ds = GazeDataset("xgaze", str(tmp_path), "bgr", ["a.h5", "b.h5"], seed=0)
+        assert dataset.idx_to_kv == h5_ds.idx_to_kv
+        loader = NativeBatchLoader(dataset, batch_size=16)
+        batches = list(loader)
+        assert sum(b["img_0"].shape[0] for b in batches) == len(dataset)
+        b0 = batches[0]
+        s0 = h5_ds[0]
+        np.testing.assert_array_equal(b0["img_0"][0], s0["img_0"])
+        np.testing.assert_allclose(b0["gt_gaze"][0], s0["gt_gaze"], atol=1e-6)
+        np.testing.assert_allclose(
+            b0["head_pose_1"][0], s0["head_pose_1"], atol=1e-6
+        )
+
+    def test_shuffle_and_epochs(self, dataset):
+        loader = NativeBatchLoader(dataset, batch_size=8, shuffle=True, seed=1)
+        e0 = np.concatenate([b["idx_0"] for b in loader])
+        e1 = np.concatenate([b["idx_0"] for b in loader])
+        assert sorted(e0.tolist()) == sorted(e1.tolist())
+        assert not np.array_equal(e0, e1)
+
+    def test_drop_last(self, dataset):
+        loader = NativeBatchLoader(dataset, batch_size=7, drop_last=True)
+        assert all(b["img_0"].shape[0] == 7 for b in loader)
