@@ -115,21 +115,38 @@ def color_jitter(
 def _affine_warp_nearest(
     img: jnp.ndarray, scale: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray
 ) -> jnp.ndarray:
-    """Warp (H,W,C) about its center: out(p) = img(C + (p - C - t)/s)."""
+    """Warp (H,W,C) about its center: out(p) = img(C + (p - C - t)/s).
+
+    TPU-native formulation: scale+translate is axis-separable, so the
+    nearest-neighbor resample is two one-hot selection MATMULS (rows then
+    columns) that run on the MXU — point gathers serialize on TPU and were
+    ~100x slower here. Out-of-bounds fill-0 folds into the selection
+    matrices (zeroed rows), exactly reproducing torchvision's fill=0.
+    """
     h, w = img.shape[0], img.shape[1]
     cy, cx = (h - 1) * 0.5, (w - 1) * 0.5
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
     src_y = cy + (ys - cy - ty) / scale
     src_x = cx + (xs - cx - tx) / scale
     iy = jnp.round(src_y).astype(jnp.int32)
     ix = jnp.round(src_x).astype(jnp.int32)
-    in_bounds = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-    iy = jnp.clip(iy, 0, h - 1)
-    ix = jnp.clip(ix, 0, w - 1)
-    out = img[jnp.broadcast_to(iy, (h, w)), jnp.broadcast_to(ix, (h, w))]
-    return jnp.where(
-        jnp.broadcast_to(in_bounds, (h, w))[..., None], out, 0.0
+    ok_y = ((iy >= 0) & (iy < h)).astype(img.dtype)
+    ok_x = ((ix >= 0) & (ix < w)).astype(img.dtype)
+    # (H, H) / (W, W) one-hot selectors with OOB rows zeroed.
+    sel_y = (
+        jnp.clip(iy, 0, h - 1)[:, None] == jnp.arange(h)[None, :]
+    ).astype(img.dtype) * ok_y[:, None]
+    sel_x = (
+        jnp.clip(ix, 0, w - 1)[:, None] == jnp.arange(w)[None, :]
+    ).astype(img.dtype) * ok_x[:, None]
+    # rows: out1[o, w, c] = sum_h sel_y[o, h] img[h, w, c]
+    out = jnp.einsum(
+        "oh,hwc->owc", sel_y, img, precision=jax.lax.Precision.HIGHEST
+    )
+    # cols: out2[o, p, c] = sum_w sel_x[p, w] out1[o, w, c]
+    return jnp.einsum(
+        "pw,owc->opc", sel_x, out, precision=jax.lax.Precision.HIGHEST
     )
 
 
@@ -172,16 +189,23 @@ def random_multi_erasing(
     MAX x MAX uniform grid thresholded at ``prop``.
     """
     h, w = img.shape[0], img.shape[1]
+    g = _MAX_ERASE_GRID
     k_gate, k_dot, k_prop, k_grid = jax.random.split(key, 4)
     dot = jax.random.uniform(k_dot, (), minval=dot_size[0], maxval=dot_size[1])
     prop = jax.random.uniform(k_prop, (), minval=proportion[0], maxval=proportion[1])
     hs = jnp.floor(1.0 / dot).astype(jnp.int32)
 
-    grid = jax.random.uniform(k_grid, (_MAX_ERASE_GRID, _MAX_ERASE_GRID))
-    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] * hs / h).astype(jnp.int32)
-    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] * hs / w).astype(jnp.int32)
-    cell = grid[jnp.broadcast_to(ys, (h, w)), jnp.broadcast_to(xs, (h, w))]
-    mask = (cell > prop).astype(img.dtype)[..., None]
+    # Keep mask per grid cell, nearest-upsampled to pixels via two one-hot
+    # selection matmuls (cell-row x grid x cell-col) — MXU-friendly, no
+    # point gathers (serialized on TPU).
+    keep = (jax.random.uniform(k_grid, (g, g)) > prop).astype(img.dtype)
+    ys = (jnp.arange(h, dtype=jnp.float32) * hs / h).astype(jnp.int32)
+    xs = (jnp.arange(w, dtype=jnp.float32) * hs / w).astype(jnp.int32)
+    sel_y = (ys[:, None] == jnp.arange(g)[None, :]).astype(img.dtype)
+    sel_x = (xs[:, None] == jnp.arange(g)[None, :]).astype(img.dtype)
+    mask = jnp.einsum(
+        "yg,gh,xh->yx", sel_y, keep, sel_x, precision=jax.lax.Precision.HIGHEST
+    )[..., None]
 
     gate = jax.random.uniform(k_gate, ()) <= p
     return jnp.where(gate, img * mask, img)

@@ -144,6 +144,10 @@ def build_experiment(config: SimpleNamespace):
     /root/reference/main.py:210-248)."""
     import jax.numpy as jnp
 
+    from rot_mvgaze_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from rot_mvgaze_tpu.data import BatchLoader
     from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
     from rot_mvgaze_tpu.models import FeatRotationSymm

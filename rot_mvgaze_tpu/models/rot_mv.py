@@ -292,6 +292,13 @@ class FeatRotationSymm(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_fusion: bool = False
+    # Run both views through the backbone as ONE concatenated batch (bigger
+    # GEMMs, one kernel sequence). Always done at eval (numerically identical
+    # there — BN uses running stats). At train it merges the two views'
+    # BatchNorm batch statistics, which deviates from the reference's
+    # per-view stats (/root/reference/models/rot_mv.py:196-197), so it is
+    # opt-in for training.
+    fuse_views: bool = False
 
     def setup(self) -> None:
         assert not (self.ignore_rotmat and self.encode_rotmat)
@@ -367,10 +374,16 @@ class FeatRotationSymm(nn.Module):
             "bij,bkj->bik", rot_1, rot_0, precision=jax.lax.Precision.HIGHEST
         )
 
-        img_feat_0 = self.backbone(img_0, train)
-        img_feat_1 = self.backbone(img_1, train)
-        rotatable_feat_0 = self.lifter(img_feat_0)
-        rotatable_feat_1 = self.lifter(img_feat_1)
+        if self.fuse_views or not train:
+            both = self.backbone(jnp.concatenate([img_0, img_1], axis=0), train)
+            lifted = self.lifter(both)
+            img_feat_0, img_feat_1 = jnp.split(both, 2, axis=0)
+            rotatable_feat_0, rotatable_feat_1 = jnp.split(lifted, 2, axis=0)
+        else:
+            img_feat_0 = self.backbone(img_0, train)
+            img_feat_1 = self.backbone(img_1, train)
+            rotatable_feat_0 = self.lifter(img_feat_0)
+            rotatable_feat_1 = self.lifter(img_feat_1)
 
         if self.share_feature:
             img_feat_0 = rotatable_feat_0

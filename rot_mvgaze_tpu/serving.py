@@ -1,0 +1,138 @@
+"""Batch inference / serving API.
+
+The reference has no serving surface (eval only through the trainer loop,
+/root/reference/trainer.py:164-199). For production deployment this module
+provides a compiled, fixed-shape predictor:
+
+- loads either native msgpack checkpoints or reference ``.pth.tar`` ones;
+- jits the eval pipeline (uint8 -> normalize -> forward) ONCE at a fixed
+  micro-batch size and serves arbitrary request sizes by slicing/padding —
+  static shapes mean a single cached executable, no recompiles in prod;
+- bfloat16 compute by default; pitchyaw outputs in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rot_mvgaze_tpu.augment.ops import eval_preprocess
+from rot_mvgaze_tpu.geometry import rotation_matrix_2d
+from rot_mvgaze_tpu.models import FeatRotationSymm
+
+
+class GazePredictor:
+    """Compiled two-view gaze predictor over a FeatRotationSymm checkpoint."""
+
+    def __init__(
+        self,
+        checkpoint: str,
+        backbone_depth: int = 50,
+        num_iter: int = 3,
+        share_weights: bool = False,
+        encode_rotmat: bool = False,
+        share_feature: bool = False,
+        ignore_rotmat: bool = False,
+        micro_batch: int = 64,
+        image_size: int = 224,
+        dtype: Any = jnp.bfloat16,
+        use_pallas_fusion: bool = False,
+    ) -> None:
+        self.model = FeatRotationSymm(
+            backbone_depth=backbone_depth,
+            num_iter=num_iter,
+            share_weights=share_weights,
+            encode_rotmat=encode_rotmat,
+            share_feature=share_feature,
+            ignore_rotmat=ignore_rotmat,
+            dtype=dtype,
+            use_pallas_fusion=use_pallas_fusion,
+        )
+        self.micro_batch = micro_batch
+        self.image_size = image_size
+        self.variables = self._load(checkpoint)
+        self._forward = jax.jit(self._forward_fn)
+
+    def _load(self, path: str) -> Dict[str, Any]:
+        if path.endswith((".pth", ".pth.tar", ".pt")):
+            from rot_mvgaze_tpu.compat import (
+                convert_rot_mv_state_dict,
+                load_torch_state_dict,
+            )
+
+            cfg = {
+                k: getattr(self.model, k)
+                for k in (
+                    "backbone_depth",
+                    "num_iter",
+                    "share_weights",
+                    "encode_rotmat",
+                    "share_feature",
+                    "ignore_rotmat",
+                )
+            }
+            converted = convert_rot_mv_state_dict(
+                load_torch_state_dict(path), **cfg
+            )
+            return jax.tree.map(jnp.asarray, converted)
+        from rot_mvgaze_tpu.train.checkpoints import restore_variables
+
+        return jax.tree.map(jnp.asarray, restore_variables(path, {}))
+
+    def _forward_fn(
+        self,
+        variables: Dict[str, Any],
+        img_0: jnp.ndarray,
+        img_1: jnp.ndarray,
+        head_pose_0: jnp.ndarray,
+        head_pose_1: jnp.ndarray,
+    ) -> jnp.ndarray:
+        data = {
+            "img_0": eval_preprocess(img_0, self.image_size),
+            "img_1": eval_preprocess(img_1, self.image_size),
+            "rot_0": rotation_matrix_2d(head_pose_0),
+            "rot_1": rotation_matrix_2d(head_pose_1),
+        }
+        out = self.model.apply(variables, data, train=False)
+        return out["pred_gaze"].astype(jnp.float32)
+
+    def predict(
+        self,
+        img_0: np.ndarray,
+        img_1: np.ndarray,
+        head_pose_0: np.ndarray,
+        head_pose_1: np.ndarray,
+    ) -> np.ndarray:
+        """(N,H,W,3) uint8 x2 views + (N,2) head poses -> (N,2) pitchyaw.
+
+        Any N: requests are served in fixed micro-batches (last one padded),
+        so only one executable is ever compiled.
+        """
+        n = img_0.shape[0]
+        mb = self.micro_batch
+        outs = []
+        for start in range(0, n, mb):
+            end = min(start + mb, n)
+            pad = mb - (end - start)
+            sl = slice(start, end)
+
+            def prep(x, pad_val=0):
+                x = np.asarray(x[sl])
+                if pad:
+                    x = np.concatenate(
+                        [x, np.repeat(x[-1:], pad, axis=0)], axis=0
+                    )
+                return x
+
+            pred = self._forward(
+                self.variables,
+                prep(img_0),
+                prep(img_1),
+                prep(head_pose_0).astype(np.float32),
+                prep(head_pose_1).astype(np.float32),
+            )
+            outs.append(np.asarray(pred)[: end - start])
+        return np.concatenate(outs, axis=0)

@@ -23,7 +23,6 @@ TPU-first redesign of the reference Trainer:
 
 from __future__ import annotations
 
-import json
 import os
 import os.path as osp
 from typing import Any, Dict, Iterable, Optional
@@ -135,12 +134,13 @@ class Trainer:
         self.ckpt_dir = osp.join(self.output_dir, "ckpt")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.writer = SummaryWriter(osp.join(self.output_dir, "tensorboard"))
-        with open(osp.join(self.output_dir, "config.json"), "w") as f:
-            json.dump(
-                {k: v for k, v in vars(config).items() if _jsonable(v)},
-                f,
-                indent=2,
-                default=str,
+        # config snapshot (reference: OmegaConf.save -> config.yaml,
+        # /root/reference/trainer.py:70)
+        import yaml
+
+        with open(osp.join(self.output_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(
+                {k: v for k, v in vars(config).items() if _jsonable(v)}, f
             )
 
         self.epochs = int(getattr(config, "epochs", 15))
@@ -294,6 +294,32 @@ class Trainer:
         path = osp.join(self.ckpt_dir, name + ".msgpack")
         save_state(path, self.state)
         print(f"save file to: {path}")
+        return path
+
+    def export_torch_checkpoint(self, path: str) -> str:
+        """Export current params as a reference-format ``.pth.tar`` state
+        dict (interop: run our weights in the reference codebase)."""
+        import torch
+
+        from rot_mvgaze_tpu.compat import flax_to_torch_state_dict
+
+        cfg = {
+            k: getattr(self.model, k)
+            for k in (
+                "backbone_depth",
+                "num_iter",
+                "share_weights",
+                "encode_rotmat",
+                "share_feature",
+                "ignore_rotmat",
+            )
+        }
+        variables = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+        }
+        sd = flax_to_torch_state_dict(variables, **cfg)
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
         return path
 
 

@@ -4,7 +4,16 @@ Reference: /root/reference/utils/{helper.py,util.py}.
 """
 
 from rot_mvgaze_tpu.utils.helper import AverageMeter
+from rot_mvgaze_tpu.utils.profiling import StepTimer, device_memory_stats, trace
 from rot_mvgaze_tpu.utils.seed import set_seed
 from rot_mvgaze_tpu.utils.summary import count_parameters, parameter_table
 
-__all__ = ["AverageMeter", "set_seed", "count_parameters", "parameter_table"]
+__all__ = [
+    "AverageMeter",
+    "set_seed",
+    "count_parameters",
+    "parameter_table",
+    "StepTimer",
+    "device_memory_stats",
+    "trace",
+]

@@ -23,5 +23,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache across test runs: the jitted train/eval steps
+# dominate suite wall-time; cache hits make re-runs fast.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

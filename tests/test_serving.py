@@ -1,0 +1,107 @@
+"""Serving predictor + profiling/observability utility tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rot_mvgaze_tpu.models import FeatRotationSymm
+from rot_mvgaze_tpu.serving import GazePredictor
+from rot_mvgaze_tpu.train.checkpoints import save_state
+from rot_mvgaze_tpu.utils import StepTimer, count_parameters
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+    data = {
+        "img_0": jnp.zeros((1, 32, 32, 3)),
+        "img_1": jnp.zeros((1, 32, 32, 3)),
+        "rot_0": jnp.eye(3)[None],
+        "rot_1": jnp.eye(3)[None],
+    }
+    vs = model.init(jax.random.PRNGKey(0), data)
+    path = str(tmp / "model.msgpack")
+    save_state(path, dict(vs))
+    return path
+
+
+class TestGazePredictor:
+    def test_predict_odd_sizes(self, ckpt_path):
+        """Request sizes not divisible by the micro-batch get padded/sliced."""
+        pred = GazePredictor(
+            ckpt_path,
+            backbone_depth=18,
+            num_iter=1,
+            micro_batch=4,
+            image_size=32,
+            dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(0)
+        n = 7  # 4 + 3: exercises both a full and a padded micro-batch
+        img0 = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+        img1 = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+        hp0 = rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)
+        hp1 = rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)
+        out = pred.predict(img0, img1, hp0, hp1)
+        assert out.shape == (n, 2)
+        assert out.dtype == np.float32
+        assert np.all(np.isfinite(out))
+        # padding must not leak into real outputs: same result one-by-one
+        single = np.concatenate(
+            [
+                pred.predict(img0[i : i + 1], img1[i : i + 1], hp0[i : i + 1], hp1[i : i + 1])
+                for i in range(n)
+            ]
+        )
+        np.testing.assert_allclose(out, single, atol=1e-5)
+
+    def test_loads_torch_checkpoint(self, tmp_path):
+        pytest.importorskip("torch")
+        from reference_harness import reference_available
+
+        if not reference_available():
+            pytest.skip("reference unavailable")
+        import torch
+
+        from reference_harness import import_reference_models
+
+        ref_rot_mv, _ = import_reference_models()
+        torch.manual_seed(0)
+        ref = ref_rot_mv.FeatRotationSymm(
+            backbone_depth=18, num_iter=1,
+            share_weights=False, encode_rotmat=False,
+            share_feature=False, ignore_rotmat=False,
+        )
+        path = str(tmp_path / "ref.pth.tar")
+        torch.save(ref.state_dict(), path)
+        pred = GazePredictor(
+            path, backbone_depth=18, num_iter=1, micro_batch=2,
+            image_size=32, dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(0)
+        out = pred.predict(
+            rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8),
+            rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8),
+            rng.uniform(-0.5, 0.5, (2, 2)).astype(np.float32),
+            rng.uniform(-0.5, 0.5, (2, 2)).astype(np.float32),
+        )
+        assert out.shape == (2, 2) and np.all(np.isfinite(out))
+
+
+class TestProfilingUtils:
+    def test_step_timer(self):
+        t = StepTimer(items_per_step=10)
+        x = jnp.ones((8, 8))
+        t.start()
+        y = x @ x
+        dt = t.stop(y)
+        assert dt > 0
+        assert t.items_per_second > 0
+
+    def test_count_parameters(self):
+        params = {"a": {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,))}}
+        assert count_parameters(params) == 16

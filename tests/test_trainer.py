@@ -89,7 +89,7 @@ class TestTrainerEndToEnd:
 
         # observability surface
         assert os.path.exists(os.path.join(trainer.output_dir, "test_results.txt"))
-        assert os.path.exists(os.path.join(trainer.output_dir, "config.json"))
+        assert os.path.exists(os.path.join(trainer.output_dir, "config.yaml"))
         tb_dir = os.path.join(trainer.output_dir, "tensorboard")
         assert any(f.startswith("events.out.tfevents") for f in os.listdir(tb_dir))
 
