@@ -1,0 +1,77 @@
+"""Multi-host (multi-process) data-parallel setup.
+
+The reference is strictly single-process (/root/reference/main.py:212). At
+scale, each host drives its local TPU chips and reads its own shard of the
+dataset; gradients all-reduce over ICI within a slice and DCN across slices —
+all expressed through the same GSPMD shardings as single-host DP
+(rot_mvgaze_tpu.parallel.mesh), just over a global mesh.
+
+Usage on every host::
+
+    from rot_mvgaze_tpu.parallel.distributed import initialize, global_mesh
+    initialize()                     # jax.distributed (env-driven)
+    mesh = global_mesh()             # 1-D 'data' mesh over ALL chips
+    shard = host_shard(len(dataset)) # this host's sample range
+
+then feed per-host batches with
+``jax.make_array_from_process_local_data(batch_sharding(mesh), local_batch)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from rot_mvgaze_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed (no-op when single-process).
+
+    With no args, cluster parameters come from the environment (TPU pods
+    auto-discover; elsewhere set JAX_COORDINATOR_ADDRESS etc.).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process run (no coordinator configured) — fine.
+        pass
+
+
+def global_mesh() -> "jax.sharding.Mesh":
+    """1-D data mesh over every chip in the job (all hosts)."""
+    return make_mesh(jax.devices(), axis_name=DATA_AXIS)
+
+
+def host_shard(n: int) -> Tuple[int, int]:
+    """[start, stop) range of dataset indices this host is responsible for.
+
+    Splits as evenly as possible; earlier hosts take the remainder.
+    """
+    p = jax.process_count()
+    i = jax.process_index()
+    base, rem = divmod(n, p)
+    start = i * base + min(i, rem)
+    stop = start + base + (1 if i < rem else 0)
+    return start, stop
+
+
+def local_batch_to_global(batch, mesh):
+    """Assemble a globally-sharded batch from this host's local shard."""
+    from rot_mvgaze_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )

@@ -3,6 +3,7 @@
 Reference: /root/reference/utils/{helper.py,util.py}.
 """
 
+from rot_mvgaze_tpu.utils.config import build_model_from_cfg
 from rot_mvgaze_tpu.utils.helper import AverageMeter
 from rot_mvgaze_tpu.utils.profiling import StepTimer, device_memory_stats, trace
 from rot_mvgaze_tpu.utils.seed import set_seed
@@ -10,6 +11,7 @@ from rot_mvgaze_tpu.utils.summary import count_parameters, parameter_table
 
 __all__ = [
     "AverageMeter",
+    "build_model_from_cfg",
     "set_seed",
     "count_parameters",
     "parameter_table",
