@@ -78,6 +78,8 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "h5py thread loader if unavailable)")
     p.add_argument("--use_pallas_fusion", type=str2bool, default=False,
                    help="Pallas fused rotate+concat+GEMM fusion kernels")
+    p.add_argument("--use_pallas_bn", type=str2bool, default=False,
+                   help="Pallas fused train-mode BatchNorm(+ReLU+residual)")
     return p
 
 
@@ -219,6 +221,7 @@ def build_experiment(config: SimpleNamespace):
         ignore_rotmat=config.ignore_rotmat,
         dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
         use_pallas_fusion=getattr(config, "use_pallas_fusion", False),
+        use_pallas_bn=getattr(config, "use_pallas_bn", False),
     )
     # Shipped loss stack (/root/reference/main.py:239-240).
     metrics = IterationLoss(

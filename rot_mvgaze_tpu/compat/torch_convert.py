@@ -221,9 +221,18 @@ def convert_rot_mv_state_dict(
 
 
 def flax_to_torch_state_dict(
-    variables: Mapping[str, Any], **config: Any
+    variables: Mapping[str, Any],
+    strict_compatible: bool = False,
+    **config: Any,
 ) -> Dict[str, np.ndarray]:
-    """Inverse of :func:`convert_rot_mv_state_dict` (for interop/round-trip)."""
+    """Inverse of :func:`convert_rot_mv_state_dict` (for interop/round-trip).
+
+    ``strict_compatible=True`` additionally synthesizes the keys the
+    reference's ``load_state_dict(strict=True)`` requires but never uses:
+    per-BN ``num_batches_tracked`` counters (zeros) and the backbone's
+    ImageNet ``fc`` head (zeros; present-but-never-called,
+    /root/reference/models/resnet.py:201, rot_mv.py:124-129).
+    """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     out: Dict[str, np.ndarray] = {}
@@ -255,6 +264,17 @@ def flax_to_torch_state_dict(
             out[f"{e.torch_key}.running_mean"] = np.asarray(
                 _lookup(batch_stats, e.flax_path + ("running_mean",))
             )
+        if strict_compatible and e.kind == "bn":
+            out[f"{e.torch_key}.num_batches_tracked"] = np.asarray(
+                0, dtype=np.int64
+            )
+    if strict_compatible:
+        depth = config.get("backbone_depth", 50)
+        feat_dim = 512 * (4 if depth in BOTTLENECK_DEPTHS else 1)
+        out["_feat_extractor.0.fc.weight"] = np.zeros(
+            (1000, feat_dim), np.float32
+        )
+        out["_feat_extractor.0.fc.bias"] = np.zeros((1000,), np.float32)
     return out
 
 

@@ -161,3 +161,15 @@ class Conv2dTransposeNet(nn.Module):
                 )(x)
                 x = nn.leaky_relu(x)
         return x
+
+
+def weight_copy(params_dst, params_src):
+    """Copy parameters across matching pytrees (parity with the torch helper
+    at /root/reference/models/backbones/blocks.py:129-132 — in JAX params are
+    immutable pytrees, so this is a structure-checked functional copy)."""
+    import jax
+
+    jax.tree.structure(params_dst)  # raises if dst malformed
+    if jax.tree.structure(params_dst) != jax.tree.structure(params_src):
+        raise ValueError("parameter tree structures differ")
+    return jax.tree.map(lambda _, s: s, params_dst, params_src)

@@ -33,21 +33,35 @@ conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class ConvBN(nn.Module):
-    """Conv (no bias) followed by BatchNorm — the ResNet primitive pair."""
+    """Conv (no bias) + BatchNorm, with optionally fused residual-add and
+    ReLU — the ResNet primitive.
+
+    With ``use_pallas_bn`` the training-mode BN (+act+residual) runs through
+    the Pallas fused kernels (rot_mvgaze_tpu/ops/batchnorm.py); otherwise
+    flax ``nn.BatchNorm`` with the act/residual applied as plain XLA ops.
+    Both paths share the exact parameter/stat tree layout.
+    """
 
     features: int
     kernel_size: int
     strides: int = 1
     groups: int = 1
+    act: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas_bn: bool = False
     conv_name: str = "conv"
     bn_name: str = "bn"
     bn_scale_init: Callable = nn.initializers.ones
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool,
+        residual: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         pad = self.kernel_size // 2
         x = nn.Conv(
             self.features,
@@ -61,6 +75,18 @@ class ConvBN(nn.Module):
             kernel_init=conv_kaiming_init,
             name=self.conv_name,
         )(x)
+        if self.use_pallas_bn:
+            from rot_mvgaze_tpu.models.norm import PallasBatchNormAct
+
+            return PallasBatchNormAct(
+                momentum=0.9,
+                epsilon=1e-5,
+                relu=self.act,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                scale_init=self.bn_scale_init,
+                name=self.bn_name,
+            )(x, train=train, residual=residual)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch BN momentum 0.1 == flax momentum 0.9
@@ -71,6 +97,10 @@ class ConvBN(nn.Module):
             scale_init=self.bn_scale_init,
             name=self.bn_name,
         )(x)
+        if residual is not None:
+            x = x + residual
+        if self.act:
+            x = nn.relu(x)
         return x
 
 
@@ -86,37 +116,37 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas_bn: bool = False
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        common = dict(
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name, use_pallas_bn=self.use_pallas_bn,
+        )
         identity = x
+        if self.has_downsample:
+            identity = ConvBN(
+                self.planes * self.expansion, 1, self.strides,
+                conv_name="conv", bn_name="bn", name="downsample", **common,
+            )(x, train)
         out = ConvBN(
-            self.planes, 3, self.strides,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            bn_axis_name=self.bn_axis_name,
-            conv_name="conv1", bn_name="bn1", name="cb1",
+            self.planes, 3, self.strides, act=True,
+            conv_name="conv1", bn_name="bn1", name="cb1", **common,
         )(x, train)
-        out = nn.relu(out)
+        # bn2 + residual add + relu fused
         out = ConvBN(
-            self.planes, 3, 1,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            bn_axis_name=self.bn_axis_name,
+            self.planes, 3, 1, act=True,
             conv_name="conv2", bn_name="bn2", name="cb2",
             bn_scale_init=(
                 nn.initializers.zeros
                 if self.zero_init_residual
                 else nn.initializers.ones
             ),
-        )(out, train)
-        if self.has_downsample:
-            identity = ConvBN(
-                self.planes * self.expansion, 1, self.strides,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                bn_axis_name=self.bn_axis_name,
-                conv_name="conv", bn_name="bn", name="downsample",
-            )(x, train)
-        return nn.relu(out + identity)
+            **common,
+        )(out, train, residual=identity)
+        return out
 
 
 class Bottleneck(nn.Module):
@@ -131,45 +161,42 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas_bn: bool = False
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        common = dict(
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name, use_pallas_bn=self.use_pallas_bn,
+        )
         identity = x
+        if self.has_downsample:
+            identity = ConvBN(
+                self.planes * self.expansion, 1, self.strides,
+                conv_name="conv", bn_name="bn", name="downsample", **common,
+            )(x, train)
         out = ConvBN(
-            width, 1, 1,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            bn_axis_name=self.bn_axis_name,
-            conv_name="conv1", bn_name="bn1", name="cb1",
+            width, 1, 1, act=True,
+            conv_name="conv1", bn_name="bn1", name="cb1", **common,
         )(x, train)
-        out = nn.relu(out)
         out = ConvBN(
-            width, 3, self.strides, groups=self.groups,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            bn_axis_name=self.bn_axis_name,
-            conv_name="conv2", bn_name="bn2", name="cb2",
+            width, 3, self.strides, groups=self.groups, act=True,
+            conv_name="conv2", bn_name="bn2", name="cb2", **common,
         )(out, train)
-        out = nn.relu(out)
+        # bn3 + residual add + relu fused
         out = ConvBN(
-            self.planes * self.expansion, 1, 1,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            bn_axis_name=self.bn_axis_name,
+            self.planes * self.expansion, 1, 1, act=True,
             conv_name="conv3", bn_name="bn3", name="cb3",
             bn_scale_init=(
                 nn.initializers.zeros
                 if self.zero_init_residual
                 else nn.initializers.ones
             ),
-        )(out, train)
-        if self.has_downsample:
-            identity = ConvBN(
-                self.planes * self.expansion, 1, self.strides,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                bn_axis_name=self.bn_axis_name,
-                conv_name="conv", bn_name="bn", name="downsample",
-            )(x, train)
-        return nn.relu(out + identity)
+            **common,
+        )(out, train, residual=identity)
+        return out
 
 
 class ResNet(nn.Module):
@@ -191,6 +218,7 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas_bn: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -205,12 +233,20 @@ class ResNet(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
             kernel_init=conv_kaiming_init, name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.bn_axis_name,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
-        )(x)
-        x = nn.relu(x)
+        if self.use_pallas_bn:
+            from rot_mvgaze_tpu.models.norm import PallasBatchNormAct
+
+            x = PallasBatchNormAct(
+                momentum=0.9, epsilon=1e-5, relu=True,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
+            )(x, train=train)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                axis_name=self.bn_axis_name,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
+            )(x)
+            x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1): -inf padding.
         x = nn.max_pool(
             x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
@@ -237,6 +273,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     bn_axis_name=self.bn_axis_name,
+                    use_pallas_bn=self.use_pallas_bn,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)
                 inplanes = planes * expansion

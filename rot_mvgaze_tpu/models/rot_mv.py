@@ -292,6 +292,9 @@ class FeatRotationSymm(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_fusion: bool = False
+    # Pallas fused train-mode BatchNorm(+ReLU+residual) in the backbone —
+    # the profiled hot path (see rot_mvgaze_tpu/ops/batchnorm.py).
+    use_pallas_bn: bool = False
     # Run both views through the backbone as ONE concatenated batch (bigger
     # GEMMs, one kernel sequence). Always done at eval (numerically identical
     # there — BN uses running stats). At train it merges the two views'
@@ -307,6 +310,7 @@ class FeatRotationSymm(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
+            use_pallas_bn=self.use_pallas_bn,
             name="backbone",
         )
         fc_dim = self.backbone.feature_dim

@@ -38,9 +38,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Batch tile / output(hidden) tile.
+# Batch tile / output(hidden) tile. TH=256 keeps the double-buffered f32
+# weight tiles ((D,TH) + (3,V,TH)) within the 16MB VMEM budget.
 _TB = 128
-_TH = 512
+_TH = 256
 
 
 def _kernel(img_ref, feat_ref, rot_ref, w1i_ref, w1r_ref, b1_ref, out_ref):

@@ -148,3 +148,30 @@ def test_round_trip_state_dict():
     sd_back = flax_to_torch_state_dict(variables, **config)
     for k, v in sd_back.items():
         np.testing.assert_array_equal(v, sd[k], err_msg=k)
+
+
+def test_strict_export_loads_in_reference():
+    """strict_compatible export must satisfy the reference's
+    load_state_dict(strict=True) — the interop direction ours -> theirs."""
+    import torch
+
+    from reference_harness import import_reference_models
+
+    ref_rot_mv, _ = import_reference_models()
+    config = dict(backbone_depth=18, num_iter=2)
+    img_0, img_1, hp_0, hp_1 = _make_inputs(batch=1, size=32)
+    rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+    _, sd, _ = _run_reference(config, img_0, img_1, rot_0, rot_1)
+
+    variables = convert_rot_mv_state_dict(sd, **config)
+    sd_back = flax_to_torch_state_dict(variables, strict_compatible=True, **config)
+
+    torch.manual_seed(0)
+    model = ref_rot_mv.FeatRotationSymm(
+        share_weights=False, encode_rotmat=False,
+        share_feature=False, ignore_rotmat=False, **config,
+    )
+    model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_back.items()},
+        strict=True,
+    )
