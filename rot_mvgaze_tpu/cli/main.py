@@ -80,6 +80,9 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="Pallas fused rotate+concat+GEMM fusion kernels")
     p.add_argument("--use_pallas_bn", type=str2bool, default=False,
                    help="Pallas fused train-mode BatchNorm(+ReLU+residual)")
+    p.add_argument("--remat", type=str2bool, default=False,
+                   help="rematerialize backbone blocks on backward "
+                        "(jax.checkpoint) for larger per-chip batches")
     return p
 
 
@@ -222,6 +225,7 @@ def build_experiment(config: SimpleNamespace):
         dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
         use_pallas_fusion=getattr(config, "use_pallas_fusion", False),
         use_pallas_bn=getattr(config, "use_pallas_bn", False),
+        remat=getattr(config, "remat", False),
     )
     # Shipped loss stack (/root/reference/main.py:239-240).
     metrics = IterationLoss(

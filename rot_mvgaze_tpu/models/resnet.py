@@ -219,6 +219,10 @@ class ResNet(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
+    # Rematerialize each residual block on the backward pass (jax.checkpoint)
+    # — trades ~30% more FLOPs for O(depth) less activation memory, enabling
+    # much larger per-chip batches.
+    remat: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -252,6 +256,11 @@ class ResNet(nn.Module):
             x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )
 
+        block_cls = (
+            nn.remat(self.block_cls, static_argnums=(2,))
+            if self.remat
+            else self.block_cls
+        )
         expansion = self.block_cls.expansion
         inplanes = 64
         for stage_i, (planes, num_blocks) in enumerate(
@@ -263,7 +272,7 @@ class ResNet(nn.Module):
                 has_down = block_i == 0 and (
                     block_strides != 1 or inplanes != planes * expansion
                 )
-                x = self.block_cls(
+                x = block_cls(
                     planes=planes,
                     strides=block_strides,
                     has_downsample=has_down,

@@ -295,6 +295,8 @@ class FeatRotationSymm(nn.Module):
     # Pallas fused train-mode BatchNorm(+ReLU+residual) in the backbone —
     # the profiled hot path (see rot_mvgaze_tpu/ops/batchnorm.py).
     use_pallas_bn: bool = False
+    # Rematerialize backbone blocks on backward (larger per-chip batches).
+    remat: bool = False
     # Run both views through the backbone as ONE concatenated batch (bigger
     # GEMMs, one kernel sequence). Always done at eval (numerically identical
     # there — BN uses running stats). At train it merges the two views'
@@ -311,6 +313,7 @@ class FeatRotationSymm(nn.Module):
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
             use_pallas_bn=self.use_pallas_bn,
+            remat=self.remat,
             name="backbone",
         )
         fc_dim = self.backbone.feature_dim

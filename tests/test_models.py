@@ -171,3 +171,26 @@ class TestPallasFusionPath:
         np.testing.assert_allclose(
             out_pal["pred_gaze"], out_ref["pred_gaze"], atol=2e-4, rtol=1e-4
         )
+
+
+class TestRemat:
+    def test_remat_grads_match_plain(self):
+        data = _data(batch=2, size=32)
+        m_plain = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        m_remat = FeatRotationSymm(backbone_depth=18, num_iter=1, remat=True)
+        vs = m_plain.init(jax.random.PRNGKey(0), data)
+        assert jax.tree.structure(vs) == jax.tree.structure(
+            m_remat.init(jax.random.PRNGKey(0), data)
+        )
+
+        def loss(m, p):
+            out, _ = m.apply(
+                {"params": p, "batch_stats": vs["batch_stats"]},
+                data, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out["pred_gaze"] ** 2)
+
+        g1 = jax.grad(lambda p: loss(m_plain, p))(vs["params"])
+        g2 = jax.grad(lambda p: loss(m_remat, p))(vs["params"])
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(a, b, atol=1e-6)

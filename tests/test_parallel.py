@@ -100,3 +100,42 @@ class TestDataParallelEquivalence:
         a = np.asarray(s1.params["gaze_estimator_0"]["dense_1"]["kernel"])
         b = np.asarray(s8.params["gaze_estimator_0"]["dense_1"]["kernel"])
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestTrainerWithMesh:
+    def test_trainer_trains_on_mesh(self, tmp_path):
+        """Full Trainer loop over the 8-device mesh on synthetic data."""
+        from types import SimpleNamespace
+
+        from rot_mvgaze_tpu.data import BatchLoader, GazeDataset
+        from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
+        from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+        from rot_mvgaze_tpu.models import FeatRotationSymm
+        from rot_mvgaze_tpu.train import Trainer
+
+        root = tmp_path / "data"
+        root.mkdir()
+        write_synthetic_dataset(str(root), ["s00.h5"], n_frames=2, image_size=32)
+        train_ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
+        test_ds = GazeDataset("mpiinv", str(root), "rgb", ["s00.h5"], seed=0)
+        cfg = SimpleNamespace(
+            mode="train", exp_name="mesh", output_dir=str(tmp_path / "logs"),
+            ckpt_resume=None, print_freq=100, seed=0, batch_size=8,
+            test_batch_size=8, epochs=1, save_epoch=10, image_size=32,
+            scheduler_step="iteration",
+        )
+        mesh = make_mesh()
+        trainer = Trainer(
+            cfg,
+            FeatRotationSymm(backbone_depth=18, num_iter=1),
+            IterationLoss(loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5),
+            BatchLoader(train_ds, batch_size=8, shuffle=True, drop_last=True),
+            BatchLoader(test_ds, batch_size=8, drop_last=True),
+            mesh=mesh,
+        )
+        trainer.train_one_epoch(0)
+        err = trainer.test(0)
+        assert np.isfinite(err)
+        # params remained replicated across the mesh
+        p = trainer.state.params["backbone"]["conv1"]["kernel"]
+        assert p.sharding.is_fully_replicated
