@@ -83,6 +83,9 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint) for larger per-chip batches")
+    p.add_argument("--auto_resume_dir", type=str, default=None,
+                   help="resume from the newest .msgpack checkpoint in this "
+                        "directory (preemption recovery)")
     return p
 
 

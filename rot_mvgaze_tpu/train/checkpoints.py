@@ -56,6 +56,17 @@ def restore_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def find_latest_checkpoint(ckpt_dir: str) -> "str | None":
+    """Most recently written ``*.msgpack`` checkpoint in a directory, or
+    None. Used by ``--auto_resume`` to restart after preemption."""
+    import glob
+
+    candidates = glob.glob(os.path.join(ckpt_dir, "*.msgpack"))
+    if not candidates:
+        return None
+    return max(candidates, key=os.path.getmtime)
+
+
 # ---------------------------------------------------------------------------
 # Orbax directory format (async-capable, multi-host) — optional path.
 # ---------------------------------------------------------------------------

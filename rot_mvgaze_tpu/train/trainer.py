@@ -10,10 +10,12 @@ TPU-first redesign of the reference Trainer:
   schedule (set ``config.scheduler_step='iteration'`` for the sane variant).
 - Eval: jitted forward; the headline metric (mean angular error, degrees) is
   computed host-side in float64 exactly like /root/reference/trainer.py:169-192.
-- Checkpoints: Orbax (params + batch_stats + opt_state + step — the reference
-  saves params only and restarts its schedule on resume,
-  /root/reference/trainer.py:150-160). Torch ``.pth.tar`` checkpoints are
-  auto-detected on resume and converted via rot_mvgaze_tpu.compat.
+- Checkpoints: single-file msgpack (params + batch_stats + opt_state + step
+  — the reference saves params only and restarts its schedule on resume,
+  /root/reference/trainer.py:150-160); full-state resume, auto-resume from a
+  directory, and preemption-safe SIGTERM saves. Torch ``.pth.tar``
+  checkpoints are auto-detected on resume and converted via
+  rot_mvgaze_tpu.compat; Orbax directory format available for multi-host.
 - Data parallel: pass a ``Mesh``; batches are batch-sharded, params
   replicated; XLA inserts gradient all-reduce + global-batch BN collectives.
 - Observability: dependency-free TensorBoard writer (scalars + image grids),
@@ -90,11 +92,20 @@ class Trainer:
         self.root_key = jax.random.PRNGKey(int(getattr(config, "seed", 0)))
 
         # ---- variables ----
+        ckpt_resume = getattr(config, "ckpt_resume", None)
+        auto_dir = getattr(config, "auto_resume_dir", None)
+        if ckpt_resume is None and auto_dir:
+            from rot_mvgaze_tpu.train.checkpoints import find_latest_checkpoint
+
+            ckpt_resume = find_latest_checkpoint(auto_dir)
+            if ckpt_resume:
+                print(f"auto-resume from latest checkpoint: {ckpt_resume}")
+        self._resume_path = ckpt_resume
         if init_variables is None:
             init_variables = self._init_variables()
-        if getattr(config, "ckpt_resume", None):
+        if ckpt_resume:
             init_variables = self._load_checkpoint_variables(
-                config.ckpt_resume, init_variables
+                ckpt_resume, init_variables
             )
 
         # ---- optimizer ----
@@ -123,6 +134,21 @@ class Trainer:
             batch_stats=init_variables.get("batch_stats", {}),
             opt_state=self.tx.init(init_variables["params"]),
         )
+        # Full-state resume (optimizer moments + step) when the checkpoint
+        # carries them — subsumes the reference's params-only restart
+        # (/root/reference/trainer.py:45-48 drops optimizer/schedule state).
+        if self._resume_path and self._resume_path.endswith(".msgpack"):
+            from rot_mvgaze_tpu.train.checkpoints import (
+                restore_state,
+                restore_tree,
+            )
+
+            tree = restore_tree(self._resume_path)
+            if "opt_state" in tree:
+                self.state = restore_state(self._resume_path, self.state)
+                print(
+                    f"restored full training state at step {int(self.state.step)}"
+                )
         if self.mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
 
@@ -209,16 +235,42 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self) -> float:
         """Full loop: eval before epoch 0, then train/eval per epoch
-        (parity: /root/reference/trainer.py:84-96)."""
-        error = self.test(-1)
-        for epoch in range(self.epochs):
-            self.train_one_epoch(epoch)
-            error = self.test(epoch)
-            if (epoch + 1) % self.save_epoch == 0:
-                self.save_checkpoint(
-                    add=f"epoch_{epoch + 1:02d}_error={round(error, 2)}"
-                )
-        return error
+        (parity: /root/reference/trainer.py:84-96), with preemption-safe
+        checkpointing: SIGTERM/SIGINT triggers a final state save at the
+        next step boundary instead of losing the run (the reference has no
+        failure handling, SURVEY.md §5)."""
+        import signal
+
+        self._preempted = False
+
+        def _on_signal(signum, frame):
+            print(f"signal {signum}: checkpointing at next step boundary")
+            self._preempted = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
+
+        try:
+            error = self.test(-1)
+            for epoch in range(self.epochs):
+                self.train_one_epoch(epoch)
+                if self._preempted:
+                    self.save_checkpoint(add=f"preempt_epoch_{epoch:02d}")
+                    print("preempted: state saved, exiting train loop")
+                    return float("nan")
+                error = self.test(epoch)
+                if (epoch + 1) % self.save_epoch == 0:
+                    self.save_checkpoint(
+                        add=f"epoch_{epoch + 1:02d}_error={round(error, 2)}"
+                    )
+            return error
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
 
     def train_one_epoch(self, epoch: int) -> None:
         print(f"Epoch: {epoch + 1} / {self.epochs}")
@@ -247,6 +299,8 @@ class Trainer:
                         self.train_iter,
                     )
             self.train_iter += 1
+            if getattr(self, "_preempted", False):
+                break
         self.writer.flush()
 
     def test(self, epoch: int) -> float:

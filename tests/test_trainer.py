@@ -138,3 +138,70 @@ class TestTrainerEndToEnd:
         with open(os.path.join(trainer.output_dir, "test_results.txt")) as f:
             logged = float(f.read().strip().split("error: ")[1])
         assert err == pytest.approx(logged)
+
+
+class TestFailureRecovery:
+    def test_full_state_resume(self, tmp_path, loaders):
+        """msgpack checkpoints restore optimizer state and step exactly."""
+        import jax
+
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+
+        batch = jax.tree.map(jnp.asarray, next(iter(train_loader)))
+        for i in range(3):
+            trainer.state, _ = trainer._train_step(
+                trainer.state, batch, jax.random.PRNGKey(i)
+            )
+        path = trainer.save_checkpoint(add="step3")
+
+        cfg2 = _make_config(tmp_path, ckpt_resume=path)
+        trainer2 = Trainer(cfg2, model, _metrics(), train_loader, test_loader)
+        assert int(trainer2.state.step) == 3
+        a = jax.tree.leaves(trainer.state.opt_state)
+        b = jax.tree.leaves(trainer2.state.opt_state)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_auto_resume_dir_picks_latest(self, tmp_path, loaders):
+        import time
+
+        from rot_mvgaze_tpu.train.checkpoints import find_latest_checkpoint
+
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        p1 = trainer.save_checkpoint(add="old")
+        time.sleep(0.05)
+        p2 = trainer.save_checkpoint(add="new")
+        assert find_latest_checkpoint(trainer.ckpt_dir) == p2
+
+        cfg3 = _make_config(tmp_path, auto_resume_dir=trainer.ckpt_dir)
+        trainer3 = Trainer(cfg3, model, _metrics(), train_loader, test_loader)
+        assert trainer3._resume_path == p2
+
+    def test_preemption_signal_saves_checkpoint(self, tmp_path, loaders):
+        import os
+        import signal
+
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, epochs=1)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+
+        # simulate preemption arriving right before training starts
+        orig_test = trainer.test
+
+        def test_then_signal(epoch):
+            err = orig_test(epoch)
+            os.kill(os.getpid(), signal.SIGTERM)
+            return err
+
+        trainer.test = test_then_signal
+        result = trainer.train()
+        assert np.isnan(result)
+        saved = os.listdir(trainer.ckpt_dir)
+        assert any(f.startswith("preempt_") for f in saved), saved
