@@ -47,8 +47,16 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--mode", type=str, choices=["train", "test"], default="train")
     p.add_argument("--exp_name", type=str)
     p.add_argument("-out", "--output_dir", type=str, default="./logs")
-    p.add_argument("--ckpt_resume", type=str, default=None,
+    # --ckpt_pretrained is accepted as an alias: the reference README
+    # documents that name while the code implements --ckpt_resume
+    # (/root/reference/README.md:55 vs main.py:89).
+    p.add_argument("--ckpt_resume", "--ckpt_pretrained", dest="ckpt_resume",
+                   type=str, default=None,
                    help="resume from checkpoint (.msgpack or torch .pth.tar)")
+    p.add_argument("--pretrained_backbone", type=str, default=None,
+                   help="initialize the backbone from a torchvision ResNet "
+                        "checkpoint file (ImageNet init, as the reference "
+                        "does via download)")
     p.add_argument("--print_freq", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8,

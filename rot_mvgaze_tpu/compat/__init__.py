@@ -6,13 +6,17 @@ into this framework's flax variable trees, and converts back for interop.
 """
 
 from rot_mvgaze_tpu.compat.torch_convert import (
+    convert_resnet_state_dict,
     convert_rot_mv_state_dict,
     flax_to_torch_state_dict,
+    load_pretrained_backbone,
     load_torch_state_dict,
 )
 
 __all__ = [
+    "convert_resnet_state_dict",
     "convert_rot_mv_state_dict",
     "flax_to_torch_state_dict",
+    "load_pretrained_backbone",
     "load_torch_state_dict",
 ]

@@ -278,6 +278,55 @@ def flax_to_torch_state_dict(
     return out
 
 
+def convert_resnet_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    depth: int,
+    include_fc: bool = False,
+) -> Dict[str, Any]:
+    """Plain torchvision-format ResNet state dict -> flax variables.
+
+    Used to initialize the backbone from ImageNet-pretrained weights — the
+    reference downloads these at model construction
+    (/root/reference/models/resnet.py:278-283, rot_mv.py:120-122); here they
+    are loaded from a local file (``--pretrained_backbone``).
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    for e in _resnet_entries(depth, "", ()):
+        if e.kind == "conv":
+            w = np.asarray(state_dict[f"{e.torch_key}.weight"])
+            _insert(params, e.flax_path + ("kernel",), w.transpose(2, 3, 1, 0))
+        elif e.kind == "bn":
+            _insert(params, e.flax_path + ("scale",),
+                    np.asarray(state_dict[f"{e.torch_key}.weight"]))
+            _insert(params, e.flax_path + ("bias",),
+                    np.asarray(state_dict[f"{e.torch_key}.bias"]))
+            _insert(batch_stats, e.flax_path + ("mean",),
+                    np.asarray(state_dict[f"{e.torch_key}.running_mean"]))
+            _insert(batch_stats, e.flax_path + ("var",),
+                    np.asarray(state_dict[f"{e.torch_key}.running_var"]))
+    if include_fc and "fc.weight" in state_dict:
+        _insert(params, ("fc", "kernel"), np.asarray(state_dict["fc.weight"]).T)
+        _insert(params, ("fc", "bias"), np.asarray(state_dict["fc.bias"]))
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_pretrained_backbone(
+    variables: Dict[str, Any], ckpt_path: str, depth: int
+) -> Dict[str, Any]:
+    """Return a copy of FeatRotationSymm ``variables`` with the backbone
+    replaced by a torchvision ResNet checkpoint's weights."""
+    sd = load_torch_state_dict(ckpt_path)
+    backbone = convert_resnet_state_dict(sd, depth)
+    out = {
+        "params": dict(variables["params"]),
+        "batch_stats": dict(variables.get("batch_stats", {})),
+    }
+    out["params"]["backbone"] = backbone["params"]
+    out["batch_stats"]["backbone"] = backbone["batch_stats"]
+    return out
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a ``.pth.tar`` checkpoint into a name->numpy dict (CPU torch)."""
     import torch

@@ -103,6 +103,19 @@ class Trainer:
         self._resume_path = ckpt_resume
         if init_variables is None:
             init_variables = self._init_variables()
+        pretrained_backbone = getattr(config, "pretrained_backbone", None)
+        if pretrained_backbone:
+            from rot_mvgaze_tpu.compat import load_pretrained_backbone
+
+            init_variables = jax.tree.map(
+                jnp.asarray,
+                load_pretrained_backbone(
+                    jax.device_get(init_variables),
+                    pretrained_backbone,
+                    self.model.backbone_depth,
+                ),
+            )
+            print(f"backbone initialized from {pretrained_backbone}")
         if ckpt_resume:
             init_variables = self._load_checkpoint_variables(
                 ckpt_resume, init_variables

@@ -175,3 +175,45 @@ def test_strict_export_loads_in_reference():
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_back.items()},
         strict=True,
     )
+
+
+def test_pretrained_backbone_init():
+    """torchvision-format ResNet ckpt initializes the backbone: pooled
+    features must match the reference ResNet on the same input."""
+    import torch
+
+    from reference_harness import import_reference_models
+    from rot_mvgaze_tpu.compat import load_pretrained_backbone
+    import jax
+
+    _, ref_resnet = import_reference_models()
+    torch.manual_seed(0)
+    ref = ref_resnet.resnet18(pretrained=False)
+    ref.eval()
+    sd = ref.state_dict()
+
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "r18.pth")
+    torch.save(sd, path)
+
+    model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 3, 64, 64).astype(np.float32)
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (2, 3, 3))
+    data = {
+        "img_0": np.transpose(img, (0, 2, 3, 1)),
+        "img_1": np.transpose(img, (0, 2, 3, 1)),
+        "rot_0": eye,
+        "rot_1": eye,
+    }
+    variables = model.init({"params": __import__("jax").random.PRNGKey(0)}, data)
+    variables = load_pretrained_backbone(jax.device_get(variables), path, 18)
+    variables = jax.tree.map(np.asarray, variables)
+    out = model.apply(variables, data, train=False)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img)).flatten(1).numpy()
+    np.testing.assert_allclose(
+        np.asarray(out["img_feat_0"]), want, atol=1e-4, rtol=1e-3
+    )
