@@ -17,6 +17,7 @@ from rot_mvgaze_tpu.models.resnet import (
     wide_resnet101_2,
 )
 from rot_mvgaze_tpu.models.rot_mv import FeatRotationSymm
+from rot_mvgaze_tpu.models.single import SingleViewGazeNet
 
 __all__ = [
     "Mlp",
@@ -31,4 +32,5 @@ __all__ = [
     "wide_resnet50_2",
     "wide_resnet101_2",
     "FeatRotationSymm",
+    "SingleViewGazeNet",
 ]
