@@ -17,11 +17,11 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import numpy as np
 
-from rot_mvgaze_tpu.data.pairing import NUM_CAMERAS, build_pair_index
+from rot_mvgaze_tpu.data.pairing import build_pair_index
 
 try:
     import h5py

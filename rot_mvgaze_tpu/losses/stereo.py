@@ -13,7 +13,7 @@ rel_weight=0.01, reference_decay=1.0):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp

@@ -21,8 +21,7 @@ for TPU:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple, Type
+from typing import Any, Callable, Optional, Sequence, Type
 
 import flax.linen as nn
 import jax.numpy as jnp

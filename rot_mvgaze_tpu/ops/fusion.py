@@ -29,9 +29,6 @@ public wrapper pads the batch when needed.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,7 @@ provides a compiled, fixed-shape predictor:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ where augmentation runs on CPU workers and loss/error sync to host per step).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -217,3 +217,20 @@ def test_pretrained_backbone_init():
     np.testing.assert_allclose(
         np.asarray(out["img_feat_0"]), want, atol=1e-4, rtol=1e-3
     )
+
+
+def test_north_star_angular_delta():
+    """BASELINE north star: converted-checkpoint outputs must be within
+    0.1 deg angular error of the reference's, sample-by-sample."""
+    from rot_mvgaze_tpu.geometry import angular_error_numpy
+
+    config = dict(backbone_depth=50, num_iter=3)
+    img_0, img_1, hp_0, hp_1 = _make_inputs(batch=4, size=64, seed=3)
+    rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+    _, sd, ref_out = _run_reference(config, img_0, img_1, rot_0, rot_1)
+    out = _run_ours(config, sd, img_0, img_1, rot_0, rot_1)
+    delta = angular_error_numpy(
+        np.asarray(out["pred_gaze"], np.float64),
+        ref_out["pred_gaze"].numpy().astype(np.float64),
+    )
+    assert float(delta.max()) < 0.1, delta

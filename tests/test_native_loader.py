@@ -112,3 +112,34 @@ class TestNativeBatchLoader:
     def test_drop_last(self, dataset):
         loader = NativeBatchLoader(dataset, batch_size=7, drop_last=True)
         assert all(b["img_0"].shape[0] == 7 for b in loader)
+
+
+@needs_native
+class TestTrainerWithNativeLoader:
+    def test_trainer_epoch_on_native_loader(self, tmp_path):
+        from types import SimpleNamespace
+
+        import numpy as _np
+
+        from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+        from rot_mvgaze_tpu.models import FeatRotationSymm
+        from rot_mvgaze_tpu.train import Trainer
+
+        write_synthetic_dataset(str(tmp_path), ["a.h5"], n_frames=2)
+        ds = PackedGazeDataset("xgaze", str(tmp_path), "bgr", ["a.h5"], seed=0)
+        cfg = SimpleNamespace(
+            mode="train", exp_name="native", output_dir=str(tmp_path / "logs"),
+            ckpt_resume=None, print_freq=100, seed=0, batch_size=12,
+            test_batch_size=12, epochs=1, save_epoch=10, image_size=32,
+            scheduler_step="iteration",
+        )
+        trainer = Trainer(
+            cfg,
+            FeatRotationSymm(backbone_depth=18, num_iter=1),
+            IterationLoss(loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5),
+            NativeBatchLoader(ds, 12, shuffle=True, drop_last=True),
+            NativeBatchLoader(ds, 12),
+        )
+        trainer.train_one_epoch(0)
+        err = trainer.test(0)
+        assert _np.isfinite(err)
