@@ -30,6 +30,22 @@ import jax.numpy as jnp
 # (/root/reference/models/resnet.py:203-205).
 conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+# ImageNet-pretrained torchvision checkpoints (the reference downloads these
+# at construction, /root/reference/models/resnet.py:18-28,278-283). In
+# zero-egress environments, download separately and pass the file to
+# ``--pretrained_backbone`` / compat.load_pretrained_backbone.
+MODEL_URLS = {
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "resnet34": "https://download.pytorch.org/models/resnet34-333f7ec4.pth",
+    "resnet50": "https://download.pytorch.org/models/resnet50-19c8e357.pth",
+    "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    "resnet152": "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
+    "resnext50_32x4d": "https://download.pytorch.org/models/resnext50_32x4d-7cdf4587.pth",
+    "resnext101_32x8d": "https://download.pytorch.org/models/resnext101_32x8d-8ba56ff5.pth",
+    "wide_resnet50_2": "https://download.pytorch.org/models/wide_resnet50_2-95faca4d.pth",
+    "wide_resnet101_2": "https://download.pytorch.org/models/wide_resnet101_2-32ee1156.pth",
+}
+
 
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm, with optionally fused residual-add and

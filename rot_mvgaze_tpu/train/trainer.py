@@ -286,22 +286,34 @@ class Trainer:
                 signal.signal(sig, h)
 
     def train_one_epoch(self, epoch: int) -> None:
+        import time
+
         print(f"Epoch: {epoch + 1} / {self.epochs}")
         assert self.train_loader is not None
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         step_key = jax.random.fold_in(self.root_key, epoch)
+        epoch_t0 = time.perf_counter()
+        n_samples = 0
+        last_t = epoch_t0
+        last_n = 0
         for i, batch in enumerate(
             device_prefetch(iter(self.train_loader), size=2, sharding=sharding)
         ):
             key = jax.random.fold_in(step_key, i)
             self.state, stats = self._train_step(self.state, batch, key)
+            n_samples += int(batch["img_0"].shape[0])
             if self.train_iter != 0 and self.train_iter % self.print_freq == 0:
-                loss = float(stats["loss_gaze"])
+                loss = float(stats["loss_gaze"])  # device sync
                 err = float(stats["error_gaze"])
+                now = time.perf_counter()
+                ips = 2 * (n_samples - last_n) / max(now - last_t, 1e-9)
+                last_t, last_n = now, n_samples
                 print(
                     f"train iter {self.train_iter}: loss_gaze={loss:.5f} "
-                    f"error_gaze={err:.3f} lr={float(stats['lr']):.2e}"
+                    f"error_gaze={err:.3f} lr={float(stats['lr']):.2e} "
+                    f"imgs/s={ips:.0f}"
                 )
+                self.writer.add_scalar("train/imgs_per_sec", ips, self.train_iter)
                 self.writer.add_scalar("train/loss_gaze", loss, self.train_iter)
                 self.writer.add_scalar("train/error_gaze", err, self.train_iter)
                 self.writer.add_scalar("train/lr", float(stats["lr"]), self.train_iter)
