@@ -140,14 +140,14 @@ def _affine_warp_nearest(
     sel_x = (
         jnp.clip(ix, 0, w - 1)[:, None] == jnp.arange(w)[None, :]
     ).astype(img.dtype) * ok_x[:, None]
+    # Default (bf16-capable) matmul precision: selectors are exact 0/1 and
+    # each output is a single selected pixel; only the pixel value itself is
+    # rounded to bf16 — immaterial for stochastic TRAIN augmentation (the
+    # deterministic eval path never warps) and ~3x faster on the MXU.
     # rows: out1[o, w, c] = sum_h sel_y[o, h] img[h, w, c]
-    out = jnp.einsum(
-        "oh,hwc->owc", sel_y, img, precision=jax.lax.Precision.HIGHEST
-    )
+    out = jnp.einsum("oh,hwc->owc", sel_y, img)
     # cols: out2[o, p, c] = sum_w sel_x[p, w] out1[o, w, c]
-    return jnp.einsum(
-        "pw,owc->opc", sel_x, out, precision=jax.lax.Precision.HIGHEST
-    )
+    return jnp.einsum("pw,owc->opc", sel_x, out)
 
 
 def random_affine(
@@ -203,9 +203,8 @@ def random_multi_erasing(
     xs = (jnp.arange(w, dtype=jnp.float32) * hs / w).astype(jnp.int32)
     sel_y = (ys[:, None] == jnp.arange(g)[None, :]).astype(img.dtype)
     sel_x = (xs[:, None] == jnp.arange(g)[None, :]).astype(img.dtype)
-    mask = jnp.einsum(
-        "yg,gh,xh->yx", sel_y, keep, sel_x, precision=jax.lax.Precision.HIGHEST
-    )[..., None]
+    # 0/1-valued contraction: exact at any matmul precision.
+    mask = jnp.einsum("yg,gh,xh->yx", sel_y, keep, sel_x)[..., None]
 
     gate = jax.random.uniform(k_gate, ()) <= p
     return jnp.where(gate, img * mask, img)

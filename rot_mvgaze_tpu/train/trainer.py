@@ -337,13 +337,38 @@ class Trainer:
         gt_all = np.zeros((n_test, 2))
         save_index = 0
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
-        for i, batch in enumerate(
-            device_prefetch(iter(self.test_loader), size=2, sharding=sharding)
-        ):
-            out = self._eval_step(self.state.params, self.state.batch_stats, batch)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+
+        def pad_for_mesh(batch):
+            # A ragged final batch cannot shard over the mesh; pad with
+            # repeats of the last sample and trim predictions afterwards.
             bs = int(batch["img_0"].shape[0])
-            pred_all[save_index : save_index + bs] = np.asarray(out["pred_gaze"])
-            gt_all[save_index : save_index + bs] = np.asarray(out["gt_gaze"])
+            pad = (-bs) % n_dev
+            if pad == 0:
+                return batch, bs
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                if getattr(v, "ndim", 0) > 0
+                else v
+                for k, v in batch.items()
+            }
+            return batch, bs
+
+        def batches():
+            for b in iter(self.test_loader):
+                yield pad_for_mesh(b)
+
+        for i, (batch, bs) in enumerate(batches()):
+            if sharding is not None:
+                batch = jax.tree.map(
+                    lambda x: jax.device_put(x, sharding)
+                    if getattr(x, "ndim", 0) > 0
+                    else x,
+                    batch,
+                )
+            out = self._eval_step(self.state.params, self.state.batch_stats, batch)
+            pred_all[save_index : save_index + bs] = np.asarray(out["pred_gaze"])[:bs]
+            gt_all[save_index : save_index + bs] = np.asarray(out["gt_gaze"])[:bs]
             save_index += bs
             if i != 0 and i % self.print_freq == 0:
                 for view in ("img_0", "img_1"):

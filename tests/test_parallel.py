@@ -130,7 +130,7 @@ class TestTrainerWithMesh:
             FeatRotationSymm(backbone_depth=18, num_iter=1),
             IterationLoss(loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5),
             BatchLoader(train_ds, batch_size=8, shuffle=True, drop_last=True),
-            BatchLoader(test_ds, batch_size=8, drop_last=True),
+            BatchLoader(test_ds, batch_size=10),  # ragged final batch: pad path
             mesh=mesh,
         )
         trainer.train_one_epoch(0)
