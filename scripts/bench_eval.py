@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Secondary benchmarks: eval-forward throughput and serving latency.
+
+(The driver's headline metric is bench.py at the repo root — the train step.
+This script measures the inference-side story for docs/PERF.md.)
+
+Prints one JSON line:
+  {"eval_imgs_per_sec": ..., "serving_p50_ms": ..., "serving_batch": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_comp"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rot_mvgaze_tpu.augment.ops import eval_preprocess
+    from rot_mvgaze_tpu.geometry import rotation_matrix_2d
+    from rot_mvgaze_tpu.models import FeatRotationSymm
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    serve_batch = int(os.environ.get("SERVE_BATCH", "8"))
+    size = 224
+
+    model = FeatRotationSymm(backbone_depth=50, num_iter=3, dtype=jnp.bfloat16)
+    init_data = {
+        "img_0": jnp.zeros((2, size, size, 3)),
+        "img_1": jnp.zeros((2, size, size, 3)),
+        "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(n):
+        return jax.device_put(
+            {
+                "img_0": rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8),
+                "img_1": rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8),
+                "hp_0": rng.uniform(-0.8, 0.8, (n, 2)).astype(np.float32),
+                "hp_1": rng.uniform(-0.8, 0.8, (n, 2)).astype(np.float32),
+            }
+        )
+
+    @jax.jit
+    def fwd(variables, b):
+        data = {
+            "img_0": eval_preprocess(b["img_0"], size),
+            "img_1": eval_preprocess(b["img_1"], size),
+            "rot_0": rotation_matrix_2d(b["hp_0"]),
+            "rot_1": rotation_matrix_2d(b["hp_1"]),
+        }
+        return model.apply(variables, data, train=False)["pred_gaze"]
+
+    # throughput (big batch)
+    big = make_batch(batch)
+    for _ in range(3):
+        out = fwd(variables, big)
+    jax.block_until_ready(out)
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = fwd(variables, big)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    eval_ips = 2 * batch * n_steps / dt
+
+    # latency (small batch, per-call block = request/response)
+    small = make_batch(serve_batch)
+    for _ in range(3):
+        jax.block_until_ready(fwd(variables, small))
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(variables, small))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    print(
+        json.dumps(
+            {
+                "eval_imgs_per_sec": round(eval_ips, 1),
+                "serving_p50_ms": round(float(np.percentile(lat, 50)), 2),
+                "serving_p99_ms": round(float(np.percentile(lat, 99)), 2),
+                "serving_batch": serve_batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
