@@ -51,11 +51,15 @@ def main() -> None:
     from rot_mvgaze_tpu.train.steps import make_train_step
     from rot_mvgaze_tpu.train.trainer import TrainState, make_optimizer
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     size = 224
 
     model = FeatRotationSymm(
-        backbone_depth=50, num_iter=3, dtype=jnp.bfloat16
+        backbone_depth=50,
+        num_iter=3,
+        dtype=jnp.bfloat16,
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        use_pallas_fusion=os.environ.get("BENCH_PALLAS_FUSION", "0") == "1",
     )
     metrics = IterationLoss(
         loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
