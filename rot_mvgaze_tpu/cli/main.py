@@ -91,6 +91,10 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint) for larger per-chip batches")
+    p.add_argument("--fuse_views", type=str2bool, default=False,
+                   help="run both views through the backbone as one batch "
+                        "during TRAINING too (merges BN batch stats across "
+                        "views; eval always fuses)")
     p.add_argument("--auto_resume_dir", type=str, default=None,
                    help="resume from the newest .msgpack checkpoint in this "
                         "directory (preemption recovery)")
@@ -237,6 +241,7 @@ def build_experiment(config: SimpleNamespace):
         use_pallas_fusion=getattr(config, "use_pallas_fusion", False),
         use_pallas_bn=getattr(config, "use_pallas_bn", False),
         remat=getattr(config, "remat", False),
+        fuse_views=getattr(config, "fuse_views", False),
     )
     # Shipped loss stack (/root/reference/main.py:239-240).
     metrics = IterationLoss(

@@ -82,28 +82,52 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error: list = []
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (early break) — prevents a blocked producer thread.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     for idxs in self._batch_indices():
+                        if stop.is_set():
+                            return
                         samples = list(pool.map(self.dataset.__getitem__, idxs))
-                        q.put(collate(samples))
+                        if not put(collate(samples)):
+                            return
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        self.epoch += 1
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so a blocked producer can observe the stop flag
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
+            self.epoch += 1
         if error:
             raise error[0]
 

@@ -147,3 +147,23 @@ class TestBatchLoader:
             assert isinstance(batch["img_0"], jax.Array)
             n += 1
         assert n == len(loader)
+
+
+class TestLoaderRobustness:
+    def test_early_break_does_not_leak_producer(self, tmp_path):
+        """Abandoning the iterator mid-epoch must stop the producer thread."""
+        import threading
+        import time
+
+        write_synthetic_h5(str(tmp_path / "s.h5"), n_frames=4)
+        ds = GazeDataset("xgaze", str(tmp_path), "bgr", ["s.h5"])
+        loader = BatchLoader(ds, batch_size=4, prefetch=1)
+        before = threading.active_count()
+        it = iter(loader)
+        next(it)
+        it.close()  # early abandon
+        time.sleep(0.5)
+        assert threading.active_count() <= before + 1
+        # the loader remains reusable afterwards
+        total = sum(b["img_0"].shape[0] for b in loader)
+        assert total == len(ds)

@@ -119,3 +119,33 @@ class TestReferenceParity:
             loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
         )
         np.testing.assert_allclose(float(ours(data)), ref_total, rtol=1e-5)
+
+
+class TestConverterMisconfig:
+    def test_wrong_config_reports_leftovers(self):
+        """check_conversion_coverage flags config/checkpoint mismatches."""
+        pytest.importorskip("torch")
+        from reference_harness import reference_available
+
+        if not reference_available():
+            pytest.skip("reference unavailable")
+        import torch
+
+        from reference_harness import import_reference_models
+        from rot_mvgaze_tpu.compat.torch_convert import (
+            check_conversion_coverage,
+        )
+
+        ref_rot_mv, _ = import_reference_models()
+        torch.manual_seed(0)
+        model = ref_rot_mv.FeatRotationSymm(
+            backbone_depth=18, num_iter=3,
+            share_weights=False, encode_rotmat=False,
+            share_feature=False, ignore_rotmat=False,
+        )
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        # claim num_iter=2: iteration-2 fuser/head keys must be left over
+        leftovers = check_conversion_coverage(sd, backbone_depth=18, num_iter=2)
+        assert any("_img_fusers.2" in k for k in leftovers)
+        # correct config: nothing left over
+        assert check_conversion_coverage(sd, backbone_depth=18, num_iter=3) == []
