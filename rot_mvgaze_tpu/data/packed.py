@@ -121,3 +121,45 @@ def pack_dataset(
             pack_hdf5(src, dst, dataset_name=dataset_name, color_type=color_type)
         out.append(dst)
     return out
+
+
+def _main() -> int:
+    """CLI: pre-pack subject HDF5 archives for the native loader.
+
+    Usage: python -m rot_mvgaze_tpu.data.packed DATASET_DIR \
+               --dataset {xgaze,mpiinv} [--color {bgr,rgb}] [--cache_dir DIR]
+    """
+    import argparse
+    import glob
+    import sys
+    import time
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("dataset_dir")
+    p.add_argument("--dataset", choices=["xgaze", "mpiinv"], default="xgaze")
+    p.add_argument("--color", choices=["bgr", "rgb"], default=None)
+    p.add_argument("--cache_dir", default=None)
+    args = p.parse_args()
+
+    color = args.color or ("bgr" if args.dataset == "xgaze" else "rgb")
+    subjects = sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(args.dataset_dir, "*.h5"))
+    )
+    if not subjects:
+        print(f"no .h5 archives under {args.dataset_dir}", file=sys.stderr)
+        return 1
+    cache_dir = args.cache_dir or os.path.join(
+        args.dataset_dir, "_rmgpack", args.dataset
+    )
+    t0 = time.perf_counter()
+    paths = pack_dataset(args.dataset_dir, subjects, cache_dir, args.dataset, color)
+    print(
+        f"packed {len(paths)} archives -> {cache_dir} "
+        f"({time.perf_counter() - t0:.1f}s)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
