@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Minimal production-style HTTP inference server.
+
+Serves the two-view gaze model over HTTP using the compiled fixed-shape
+GazePredictor (rot_mvgaze_tpu.serving): one executable, micro-batched, no
+recompiles at request time.
+
+    python scripts/serve.py --ckpt model.msgpack [--port 8347] \
+        [--backbone_depth 50 --num_iter 3 --micro_batch 64]
+
+API:
+  GET  /healthz            -> {"status": "ok", ...}
+  POST /predict            body: npz with img_0, img_1 (N,H,W,3 uint8),
+                           head_pose_0, head_pose_1 (N,2 float32)
+                           -> npz with pred_gaze (N,2 float32 pitchyaw)
+
+Client example:
+    buf = io.BytesIO(); np.savez(buf, img_0=..., img_1=..., head_pose_0=...,
+                                  head_pose_1=...)
+    r = requests.post(url + "/predict", data=buf.getvalue())
+    pred = np.load(io.BytesIO(r.content))["pred_gaze"]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_handler(predictor, stats):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet default access log
+            pass
+
+        def _reply(self, code, payload, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps(
+                    {
+                        "status": "ok",
+                        "requests": stats["requests"],
+                        "samples": stats["samples"],
+                        "avg_latency_ms": round(
+                            1e3 * stats["time"] / max(stats["requests"], 1), 2
+                        ),
+                    }
+                ).encode()
+                self._reply(200, body)
+            else:
+                self._reply(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, b'{"error": "not found"}')
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                data = np.load(io.BytesIO(self.rfile.read(length)))
+                t0 = time.perf_counter()
+                pred = predictor.predict(
+                    data["img_0"],
+                    data["img_1"],
+                    data["head_pose_0"],
+                    data["head_pose_1"],
+                )
+                dt = time.perf_counter() - t0
+                stats["requests"] += 1
+                stats["samples"] += int(pred.shape[0])
+                stats["time"] += dt
+                buf = io.BytesIO()
+                np.savez(buf, pred_gaze=pred)
+                self._reply(200, buf.getvalue(), "application/octet-stream")
+            except KeyError as e:
+                self._reply(
+                    400, json.dumps({"error": f"missing field {e}"}).encode()
+                )
+            except Exception as e:  # surface the error to the client
+                self._reply(
+                    500, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
+                )
+
+    return Handler
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--port", type=int, default=8347)
+    p.add_argument("--backbone_depth", type=int, default=50)
+    p.add_argument("--num_iter", type=int, default=3)
+    p.add_argument("--micro_batch", type=int, default=64)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--f32", action="store_true", help="float32 compute")
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from rot_mvgaze_tpu.serving import GazePredictor
+
+    predictor = GazePredictor(
+        args.ckpt,
+        backbone_depth=args.backbone_depth,
+        num_iter=args.num_iter,
+        micro_batch=args.micro_batch,
+        image_size=args.image_size,
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+    )
+    # warm the executable so the first request is fast
+    s = args.image_size
+    predictor.predict(
+        np.zeros((1, s, s, 3), np.uint8),
+        np.zeros((1, s, s, 3), np.uint8),
+        np.zeros((1, 2), np.float32),
+        np.zeros((1, 2), np.float32),
+    )
+    stats = {"requests": 0, "samples": 0, "time": 0.0}
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), build_handler(predictor, stats))
+    print(f"serving on :{args.port} (micro_batch={args.micro_batch})", flush=True)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
