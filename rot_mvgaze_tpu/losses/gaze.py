@@ -26,15 +26,25 @@ def _cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-6) -> jnp
     return dot / (na * nb)
 
 
+_SIM_EPS = 1e-6
+
+
 def gaze_angular_loss(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Mean angular distance in degrees between pitchyaw predictions.
 
     Parity: /root/reference/losses/gaze_loss.py:42-52 (note the reference
     passes ``(y, y_hat)`` into the symmetric distance; order is irrelevant).
+
+    Stability deviation: the similarity is clamped to ``[-1+eps, 1-eps]``
+    rather than the reference's hard [-1, 1] (hardtanh, :44). At the exact
+    boundary ``d/dx arccos(x)`` is infinite, so a prediction that matches its
+    label to fp precision produces NaN gradients — a latent bug in the
+    reference that becomes likely under bfloat16. The clamp biases the loss
+    by at most ``arccos(1-eps)`` = 0.08 degrees and only at zero error.
     """
     va = pitchyaw_to_vector(y)
     vb = pitchyaw_to_vector(y_hat)
-    sim = jnp.clip(_cosine_similarity(va, vb), -1.0, 1.0)
+    sim = jnp.clip(_cosine_similarity(va, vb), -1.0 + _SIM_EPS, 1.0 - _SIM_EPS)
     return jnp.mean(jnp.arccos(sim) * _RAD2DEG)
 
 

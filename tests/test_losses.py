@@ -40,8 +40,9 @@ class TestGazeLosses:
         np.testing.assert_allclose(gaze_l2_loss(y, y_hat), (0.04 + 0.16) / 2, atol=1e-7)
 
     def test_angular_zero_for_identical(self):
+        # < 0.1 deg: the stability clamp floors the loss at acos(1-1e-6)
         y = jnp.array([[0.1, 0.2], [0.4, -0.3]])
-        assert float(gaze_angular_loss(y, y)) < 1e-2
+        assert float(gaze_angular_loss(y, y)) < 0.1
 
     def test_angular_grad_finite(self):
         y = jnp.array([[0.1, 0.2]])
@@ -149,3 +150,21 @@ class TestConverterMisconfig:
         assert any("_img_fusers.2" in k for k in leftovers)
         # correct config: nothing left over
         assert check_conversion_coverage(sd, backbone_depth=18, num_iter=3) == []
+
+
+class TestAngularGradStability:
+    def test_grad_finite_at_identical_predictions(self):
+        """Latent reference bug: d/dx arccos at cos_sim==1 is infinite.
+        Our epsilon clamp must keep gradients finite even when a prediction
+        exactly matches its label (likely under bfloat16)."""
+        y = jnp.array([[0.3, -0.2], [0.0, 0.0]])
+        for delta in (0.0, 1e-7, 1e-3):
+            g = jax.grad(lambda p: gaze_angular_loss(p, y))(y + delta)
+            assert np.all(np.isfinite(np.asarray(g))), f"delta={delta}"
+
+    def test_loss_bias_negligible(self):
+        """The clamp changes the loss by < 0.1 deg and only near zero error."""
+        y = jnp.array([[0.3, -0.2]])
+        assert float(gaze_angular_loss(y, y)) < 0.1  # floor ~0.08 deg
+        far = float(gaze_angular_loss(y + 0.5, y))
+        assert far > 10
