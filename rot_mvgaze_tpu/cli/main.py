@@ -8,7 +8,9 @@ Usage (identical to the reference, /root/reference/main.py:65-118,210-257)::
 Dataset roots come from ``data_path.yaml`` next to the repo's ``main.py``
 (user-created, /root/reference/README.md:22-26) with keys ``xgaze``/``mpiinv``.
 Extra flags beyond the reference: ``--backbone_depth``, ``--num_iter``,
-``--scheduler_step``, ``--image_size``, ``--bf16``, ``--num_devices``,
+``--scheduler_step``, ``--image_size``, ``--bf16``, ``--remat``,
+``--fuse_views``, ``--native_loader``, ``--use_pallas_fusion``,
+``--use_pallas_bn``, ``--pretrained_backbone``, ``--auto_resume_dir``,
 ``--share_weights/--encode_rotmat/--share_feature/--ignore_rotmat`` (the
 reference hardcodes the shipped config at main.py:231-236).
 

@@ -112,6 +112,8 @@ class GazePredictor:
         so only one executable is ever compiled.
         """
         n = img_0.shape[0]
+        if n == 0:
+            return np.zeros((0, 2), np.float32)
         mb = self.micro_batch
         outs = []
         for start in range(0, n, mb):
