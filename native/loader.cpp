@@ -21,6 +21,7 @@
 #include <mutex>
 #include <queue>
 #include <thread>
+#include <unordered_set>
 #include <vector>
 
 #include <fcntl.h>
@@ -150,8 +151,14 @@ class Pool {
   }
 
   void Wait(uint64_t ticket) {
+    // Tickets complete out of order with >1 worker thread, so completion is
+    // tracked exactly: a contiguous low-watermark plus a set of tickets that
+    // finished ahead of it. Waiting on "max completed >= ticket" would return
+    // while an earlier ticket is still writing its output buffer.
     std::unique_lock<std::mutex> lk(mu_);
-    done_cv_.wait(lk, [&] { return done_ >= ticket; });
+    done_cv_.wait(lk, [&] {
+      return ticket <= done_contig_ || done_set_.count(ticket) != 0;
+    });
   }
 
   const PackedFile* File(int idx) const {
@@ -173,7 +180,8 @@ class Pool {
       Gather(job.second);
       {
         std::lock_guard<std::mutex> lk(mu_);
-        if (job.first > done_) done_ = job.first;
+        done_set_.insert(job.first);
+        while (done_set_.erase(done_contig_ + 1)) ++done_contig_;
       }
       done_cv_.notify_all();
     }
@@ -185,7 +193,8 @@ class Pool {
   std::condition_variable cv_, done_cv_;
   std::queue<std::pair<uint64_t, Task>> queue_;
   uint64_t last_ticket_ = 0;
-  uint64_t done_ = 0;
+  uint64_t done_contig_ = 0;            // all tickets <= this are complete
+  std::unordered_set<uint64_t> done_set_;  // completed tickets > done_contig_
   bool stop_;
 };
 

@@ -98,6 +98,13 @@ class NativePool:
             c = ctypes.c_int()
             lib.rmg_file_info(self._pool, idx, n, h, w, c)
             self.shapes.append((n.value, h.value, w.value, c.value))
+        # Gather buffers are allocated with shapes[0]'s per-sample stride; a
+        # pool over mixed-resolution archives would write past them in C++.
+        hwc = {s[1:] for s in self.shapes}
+        if len(hwc) > 1:
+            raise ValueError(
+                f"packed files disagree on image shape (H, W, C): {sorted(hwc)}"
+            )
 
     @staticmethod
     def available() -> bool:

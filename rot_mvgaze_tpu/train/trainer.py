@@ -422,7 +422,11 @@ class Trainer:
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),
         }
-        sd = flax_to_torch_state_dict(variables, **cfg)
+        # strict_compatible: the reference loads checkpoints with
+        # load_state_dict(strict=True) (/root/reference/trainer.py:47,
+        # main.py:255), so the export must include the never-used keys
+        # (num_batches_tracked, backbone fc) it expects.
+        sd = flax_to_torch_state_dict(variables, strict_compatible=True, **cfg)
         torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
         return path
 

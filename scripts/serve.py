@@ -28,6 +28,7 @@ import io
 import json
 import os
 import sys
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -37,6 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_handler(predictor, stats):
+    # ThreadingHTTPServer handles requests concurrently: the lock guards the
+    # read-modify-write stats updates AND serializes predictor.predict calls
+    # (one compiled executable; serializing bounds device memory and gives
+    # honest per-request latency instead of queueing inside XLA).
+    lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet default access log
             pass
@@ -50,13 +57,15 @@ def build_handler(predictor, stats):
 
         def do_GET(self):
             if self.path == "/healthz":
+                with lock:
+                    snap = dict(stats)
                 body = json.dumps(
                     {
                         "status": "ok",
-                        "requests": stats["requests"],
-                        "samples": stats["samples"],
+                        "requests": snap["requests"],
+                        "samples": snap["samples"],
                         "avg_latency_ms": round(
-                            1e3 * stats["time"] / max(stats["requests"], 1), 2
+                            1e3 * snap["time"] / max(snap["requests"], 1), 2
                         ),
                     }
                 ).encode()
@@ -71,17 +80,18 @@ def build_handler(predictor, stats):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 data = np.load(io.BytesIO(self.rfile.read(length)))
-                t0 = time.perf_counter()
-                pred = predictor.predict(
-                    data["img_0"],
-                    data["img_1"],
-                    data["head_pose_0"],
-                    data["head_pose_1"],
-                )
-                dt = time.perf_counter() - t0
-                stats["requests"] += 1
-                stats["samples"] += int(pred.shape[0])
-                stats["time"] += dt
+                with lock:
+                    t0 = time.perf_counter()
+                    pred = predictor.predict(
+                        data["img_0"],
+                        data["img_1"],
+                        data["head_pose_0"],
+                        data["head_pose_1"],
+                    )
+                    dt = time.perf_counter() - t0
+                    stats["requests"] += 1
+                    stats["samples"] += int(pred.shape[0])
+                    stats["time"] += dt
                 buf = io.BytesIO()
                 np.savez(buf, pred_gaze=pred)
                 self._reply(200, buf.getvalue(), "application/octet-stream")

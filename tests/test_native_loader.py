@@ -63,6 +63,56 @@ class TestNativePool:
         np.testing.assert_array_equal(out["gaze"], pf.gaze[rows])
         np.testing.assert_array_equal(out["head_pose"], pf.head_pose[rows])
 
+    def test_async_out_of_order_completion(self, tmp_path):
+        """Wait(ticket) must not return until THAT ticket's buffers are
+        written, even when later (smaller) tickets finish first. Regression
+        test for the max-completed-ticket wait predicate: a large gather
+        interleaved with many tiny ones used to be observable half-filled."""
+        src = str(tmp_path / "s.h5")
+        write_synthetic_h5(src, n_frames=6, image_size=32)
+        dst = pack_hdf5(src, str(tmp_path / "s.pack"), "xgaze", "rgb")
+        pool = NativePool([dst], n_threads=4)
+        pf = PackedFile(dst)
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            big_rows = rng.integers(0, pf.n, 512)
+            big = {
+                "img": np.zeros((512, 32, 32, 3), np.uint8),
+                "gaze": np.zeros((512, 2), np.float32),
+                "pose": np.zeros((512, 2), np.float32),
+            }
+            t_big = pool.gather_async(
+                np.zeros(512, np.int32), big_rows,
+                big["img"], big["gaze"], big["pose"],
+            )
+            smalls = []
+            for _ in range(8):
+                rows = rng.integers(0, pf.n, 2)
+                bufs = (
+                    np.zeros((2, 32, 32, 3), np.uint8),
+                    np.zeros((2, 2), np.float32),
+                    np.zeros((2, 2), np.float32),
+                )
+                smalls.append(
+                    (pool.gather_async(np.zeros(2, np.int32), rows, *bufs),
+                     rows, bufs)
+                )
+            pool.wait(t_big)
+            np.testing.assert_array_equal(big["img"], pf.images[big_rows])
+            np.testing.assert_array_equal(big["gaze"], pf.gaze[big_rows])
+            for t, rows, bufs in smalls:
+                pool.wait(t)
+                np.testing.assert_array_equal(bufs[0], pf.images[rows])
+
+    def test_mixed_resolution_pool_rejected(self, tmp_path):
+        paths = []
+        for i, size in enumerate((16, 32)):
+            src = str(tmp_path / f"s{i}.h5")
+            write_synthetic_h5(src, n_frames=1, image_size=size)
+            paths.append(pack_hdf5(src, src + ".pack", "xgaze", "rgb"))
+        with pytest.raises(ValueError, match="image shape"):
+            NativePool(paths)
+
     def test_multi_file_gather(self, tmp_path):
         paths = []
         for i in range(3):

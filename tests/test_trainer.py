@@ -128,6 +128,20 @@ class TestTrainerEndToEnd:
         b = np.asarray(trainer2.state.params["backbone"]["conv1"]["kernel"])
         np.testing.assert_array_equal(a, b)
 
+    def test_export_torch_checkpoint_is_strict_loadable(self, tmp_path, loaders):
+        """The exported .pth.tar must carry the keys the reference's
+        load_state_dict(strict=True) requires but never uses
+        (num_batches_tracked, backbone fc.*)."""
+        torch = pytest.importorskip("torch")
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        path = trainer.export_torch_checkpoint(str(tmp_path / "export.pth.tar"))
+        sd = torch.load(path, weights_only=True)
+        assert any(k.endswith("num_batches_tracked") for k in sd)
+        assert "_feat_extractor.0.fc.weight" in sd
+
     def test_eval_matches_reference_metric_definition(self, tmp_path, loaders):
         """test() must equal float64 numpy angular error over collected preds."""
         train_loader, test_loader = loaders
