@@ -100,6 +100,10 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--auto_resume_dir", type=str, default=None,
                    help="resume from the newest .msgpack checkpoint in this "
                         "directory (preemption recovery)")
+    p.add_argument("--dp", type=str2bool, default=True,
+                   help="data-parallel training over ALL visible chips "
+                        "(jax.sharding Mesh; multi-host via jax.distributed). "
+                        "batch_size is the GLOBAL batch. False = single device")
     return p
 
 
@@ -163,7 +167,17 @@ def configure_dataset(
 
 def build_experiment(config: SimpleNamespace):
     """Wire datasets, model, loss, trainer (parity:
-    /root/reference/main.py:210-248)."""
+    /root/reference/main.py:210-248), plus the scale-out surface the
+    reference lacks (single device only, /root/reference/main.py:212):
+    a 1-D data-parallel mesh over every visible chip, multi-host via
+    jax.distributed, per-host input sharding."""
+    # jax.distributed must initialize before the first device use.
+    from rot_mvgaze_tpu.parallel import distributed
+
+    if getattr(config, "dp", True):
+        distributed.initialize()
+
+    import jax
     import jax.numpy as jnp
 
     from rot_mvgaze_tpu.utils.cache import enable_compile_cache
@@ -175,6 +189,26 @@ def build_experiment(config: SimpleNamespace):
     from rot_mvgaze_tpu.models import FeatRotationSymm
     from rot_mvgaze_tpu.train import Trainer
     from rot_mvgaze_tpu.utils import set_seed
+
+    mesh = None
+    n_procs = jax.process_count()
+    if getattr(config, "dp", True) and jax.device_count() > 1:
+        mesh = distributed.global_mesh()
+        n_dev = mesh.devices.size
+        for attr in ("batch_size", "test_batch_size"):
+            bs = getattr(config, attr)
+            if bs % n_dev:
+                rounded = max(bs // n_dev, 1) * n_dev
+                print(f"{attr} {bs} -> {rounded} (multiple of {n_dev} devices)")
+                setattr(config, attr, rounded)
+        print(
+            f"data-parallel mesh: {n_dev} devices across {n_procs} host(s); "
+            f"global batch {config.batch_size}"
+        )
+    # Per-host slice of the global batch; loaders read only this host's shard.
+    process_shard = (jax.process_index(), n_procs) if n_procs > 1 else None
+    local_bs = config.batch_size // n_procs
+    local_test_bs = config.test_batch_size // n_procs
 
     set_seed(config.seed)
     data_paths = _load_data_paths(config.data_path)
@@ -209,27 +243,32 @@ def build_experiment(config: SimpleNamespace):
                     seed=config.seed,
                 )
                 train_loader = NativeBatchLoader(
-                    nat_train, config.batch_size, shuffle=True,
+                    nat_train, local_bs, shuffle=True,
                     seed=config.seed, drop_last=True,
+                    process_shard=process_shard,
                 )
-                test_loader = NativeBatchLoader(nat_test, config.test_batch_size)
+                test_loader = NativeBatchLoader(
+                    nat_test, local_test_bs, process_shard=process_shard
+                )
                 print("using native packed-cache loader")
         except Exception as e:  # fall back to the h5py thread loader
             print(f"native loader unavailable ({e}); using h5py loader")
     if train_loader is None:
         train_loader = BatchLoader(
             train_dataset,
-            batch_size=config.batch_size,
+            batch_size=local_bs,
             shuffle=True,
             seed=config.seed,
             drop_last=True,
             num_threads=config.num_workers,
+            process_shard=process_shard,
         )
         test_loader = BatchLoader(
             test_dataset,
-            batch_size=config.test_batch_size,
+            batch_size=local_test_bs,
             shuffle=False,
             num_threads=config.num_workers,
+            process_shard=process_shard,
         )
 
     model = FeatRotationSymm(
@@ -258,6 +297,7 @@ def build_experiment(config: SimpleNamespace):
         metrics=metrics,
         train_loader=train_loader,
         test_loader=test_loader,
+        mesh=mesh,
     )
     return trainer
 

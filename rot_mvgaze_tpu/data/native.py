@@ -230,6 +230,7 @@ class NativeBatchLoader:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = False,
+        process_shard: Optional[tuple] = None,
     ) -> None:
         assert dataset.pool is not None, "native pool unavailable"
         self.dataset = dataset
@@ -237,6 +238,9 @@ class NativeBatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # (index, count): this host's equal-size disjoint shard of the seeded
+        # global order (multi-host DP) — same contract as BatchLoader.
+        self.process_shard = process_shard
         self.epoch = 0
         # flat (file, row, row_b) arrays for vectorized batch index math
         kv = np.asarray(dataset.idx_to_kv, np.int64)
@@ -244,20 +248,30 @@ class NativeBatchLoader:
         self._rows = kv[:, 1]
         self._rows_b = kv[:, 2]
 
-    def __len__(self) -> int:
+    def num_samples(self) -> int:
         n = len(self.dataset)
+        if self.process_shard is not None:
+            n = n // self.process_shard[1]
+        return n
+
+    def __len__(self) -> int:
+        n = self.num_samples()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_order(self) -> np.ndarray:
-        order = np.arange(len(self.dataset))
+        n = len(self.dataset)
+        order = np.arange(n)
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        if self.process_shard is not None:
+            i, p = self.process_shard
+            order = order[i::p][: n // p]
         return order
 
     def __iter__(self):
         pool = self.dataset.pool
-        n = len(self.dataset)
         order = self._epoch_order()
+        n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         starts = list(range(0, stop, self.batch_size))
         _, h, w, c = pool.shapes[0]

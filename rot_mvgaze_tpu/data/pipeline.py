@@ -42,6 +42,12 @@ class BatchLoader:
     ``seed`` + ``epoch`` so runs are reproducible. ``num_threads`` parallelizes
     per-sample HDF5 reads; ``prefetch`` batches are assembled ahead of the
     consumer on a background thread.
+
+    ``process_shard=(index, count)`` restricts iteration to this host's
+    equal-size disjoint shard for multi-host data parallelism: every host
+    computes the SAME seeded global order, then takes a strided slice of it
+    truncated to ``len(dataset) // count`` — identical batch counts on all
+    hosts (a hard requirement: hosts step the jitted train step in lockstep).
     """
 
     def __init__(
@@ -53,6 +59,7 @@ class BatchLoader:
         drop_last: bool = False,
         num_threads: int = 8,
         prefetch: int = 2,
+        process_shard: Optional[tuple] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -61,10 +68,18 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_threads = num_threads
         self.prefetch = prefetch
+        self.process_shard = process_shard
         self.epoch = 0
 
-    def __len__(self) -> int:
+    def num_samples(self) -> int:
+        """Samples this loader will actually yield per epoch (pre-batching)."""
         n = len(self.dataset)
+        if self.process_shard is not None:
+            n = n // self.process_shard[1]
+        return n
+
+    def __len__(self) -> int:
+        n = self.num_samples()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -75,6 +90,10 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(order)
+        if self.process_shard is not None:
+            i, p = self.process_shard
+            order = order[i::p][: n // p]
+        n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             yield order[start : start + self.batch_size]
@@ -149,7 +168,9 @@ def device_prefetch(
 
     def put(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+            from rot_mvgaze_tpu.parallel.mesh import put_sharded
+
+            return jax.tree.map(lambda x: put_sharded(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
     buf: "collections.deque" = collections.deque()

@@ -44,13 +44,26 @@ def evaluate_gaze(
         return out["pred_gaze"]
 
     preds, gts = [], []
+    # Pad every batch to the first-seen (full) batch size so the jitted step
+    # compiles exactly once — a ragged final batch would otherwise trigger a
+    # second multi-minute compile on a tunneled TPU. Padding repeats the last
+    # sample; its predictions are trimmed before the metric.
+    full_bs = None
     for batch in loader:
         device_batch = {
-            k: v
+            k: np.asarray(v)
             for k, v in batch.items()
             if k in ("img_0", "img_1", "head_pose_0", "head_pose_1")
         }
-        preds.append(np.asarray(step(device_batch)))
+        bs = device_batch["img_0"].shape[0]
+        if full_bs is None:
+            full_bs = bs
+        if bs < full_bs:
+            device_batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], full_bs - bs, axis=0)])
+                for k, v in device_batch.items()
+            }
+        preds.append(np.asarray(step(device_batch))[:bs])
         gts.append(np.asarray(batch["gt_gaze"]))
     pred_all = np.concatenate(preds)
     gt_all = np.concatenate(gts)

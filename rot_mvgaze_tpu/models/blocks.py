@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.nn.initializers import Initializer
 
+from rot_mvgaze_tpu.models.norm import TorchBatchNorm
+
 
 def torch_linear_init(fan_in: int) -> tuple[Initializer, Initializer]:
     """Uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) kernel+bias initializers.
@@ -67,7 +69,7 @@ class Mlp(nn.Module):
             )(x)
             if i < num_layers - 1:
                 if self.use_batchnorm:
-                    x = nn.BatchNorm(
+                    x = TorchBatchNorm(
                         use_running_average=not train,
                         momentum=0.9,
                         epsilon=1e-5,
@@ -109,7 +111,7 @@ class Conv2dNet(nn.Module):
                 name=f"conv_{i}",
             )(x)
             if i < num_layers - 1:
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
@@ -151,7 +153,7 @@ class Conv2dTransposeNet(nn.Module):
                 name=f"convt_{i}",
             )(x)
             if i < num_layers - 1:
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,

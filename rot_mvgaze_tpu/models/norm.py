@@ -23,6 +23,81 @@ import jax.numpy as jnp
 from rot_mvgaze_tpu.ops.batchnorm import fused_batchnorm_act
 
 
+class TorchBatchNorm(nn.Module):
+    """``nn.BatchNorm`` drop-in with torch BatchNorm2d's running-stat
+    semantics on the plain-XLA path.
+
+    torch normalizes with the BIASED batch variance but updates the running
+    variance with the UNBIASED one (``n/(n-1)`` Bessel correction,
+    /root/reference/models/resnet.py uses torch BatchNorm2d); flax's
+    nn.BatchNorm stores the biased variance, so default-path training
+    dynamics drift slightly from the reference. Tree layout is identical
+    (params: {scale, bias}; batch_stats: {mean, var}) — checkpoints convert
+    unchanged.
+
+    Stats are computed in float32; normalization is applied in ``dtype`` as
+    one fused affine (``x*a + b``) so the bf16 path keeps its bandwidth.
+    ``axis_name`` syncs batch stats across shard_map/pmap replicas; under
+    GSPMD jit the plain reductions are already global.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    scale_init: Any = nn.initializers.ones
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, use_running_average: Optional[bool] = None
+    ) -> jnp.ndarray:
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // c
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                )
+
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        a = (scale.astype(jnp.float32) * rstd).astype(self.dtype)
+        b = (
+            bias.astype(jnp.float32) - mean * scale.astype(jnp.float32) * rstd
+        ).astype(self.dtype)
+        return x.astype(self.dtype) * a + b
+
+
 class PallasBatchNormAct(nn.Module):
     """BatchNorm (+ optional fused residual-add and ReLU)."""
 

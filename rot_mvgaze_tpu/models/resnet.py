@@ -102,7 +102,9 @@ class ConvBN(nn.Module):
                 scale_init=self.bn_scale_init,
                 name=self.bn_name,
             )(x, train=train, residual=residual)
-        x = nn.BatchNorm(
+        from rot_mvgaze_tpu.models.norm import TorchBatchNorm
+
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch BN momentum 0.1 == flax momentum 0.9
             epsilon=1e-5,
@@ -260,7 +262,9 @@ class ResNet(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
             )(x, train=train)
         else:
-            x = nn.BatchNorm(
+            from rot_mvgaze_tpu.models.norm import TorchBatchNorm
+
+            x = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.bn_axis_name,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",

@@ -34,10 +34,10 @@ def initialize(
     """Initialize jax.distributed (no-op when single-process).
 
     With no args, cluster parameters come from the environment (TPU pods
-    auto-discover; elsewhere set JAX_COORDINATOR_ADDRESS etc.).
+    auto-discover; elsewhere set JAX_COORDINATOR_ADDRESS etc.). Must run
+    BEFORE the first device use — so no ``jax.process_count()`` pre-check
+    here, which would itself initialize the local-only backend.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -45,7 +45,8 @@ def initialize(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured) — fine.
+        # single-process run (no coordinator configured), or already
+        # initialized — either way proceed with the current topology.
         pass
 
 

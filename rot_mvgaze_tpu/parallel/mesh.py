@@ -42,3 +42,16 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
         return jax.device_put(x, bs)
 
     return jax.tree.map(put, batch)
+
+
+def put_sharded(x: Any, sharding: NamedSharding) -> Any:
+    """Place one host array onto the mesh under ``sharding``.
+
+    Single-process: plain ``device_put``. Multi-process (multi-host DP): the
+    host holds only its shard of the global batch, so the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — local shards
+    ride ICI/DCN only inside collectives, never through a gather on one host.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)

@@ -122,8 +122,16 @@ class Trainer:
             )
 
         # ---- optimizer ----
-        n_train = len(train_loader.dataset) if train_loader is not None else 0
-        batch_size = int(getattr(config, "batch_size", 50))
+        # num_samples() accounts for per-host input sharding (multi-host DP):
+        # steps/epoch = local samples / local batch = global / global.
+        if train_loader is None:
+            n_train = 0
+        elif hasattr(train_loader, "num_samples"):
+            n_train = train_loader.num_samples()
+        else:
+            n_train = len(train_loader.dataset)
+        batch_size = int(getattr(train_loader, "batch_size", None)
+                         or getattr(config, "batch_size", 50))
         steps_per_epoch = max(n_train // batch_size, 1)
         step_size_up = max(steps_per_epoch // 2, 1)
         step_size_down = max(steps_per_epoch - step_size_up, 1)
@@ -320,7 +328,7 @@ class Trainer:
                 for view in ("img_0", "img_1"):
                     self.writer.add_image(
                         f"train/images_{view[-1]}",
-                        make_image_grid(np.asarray(stats[view])),
+                        make_image_grid(self._to_local_numpy(stats[view])),
                         self.train_iter,
                     )
             self.train_iter += 1
@@ -328,22 +336,45 @@ class Trainer:
                 break
         self.writer.flush()
 
+    @staticmethod
+    def _to_local_numpy(arr) -> np.ndarray:
+        """Host copy of a (possibly globally-sharded) device array.
+
+        Multi-host: a batch-sharded global array is not fully addressable, so
+        return THIS host's rows — its addressable shards concatenated in
+        global-offset order (matching the order its local batch was fed)."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
     def test(self, epoch: int) -> float:
         """Full-test-set mean angular error in degrees, float64 on host
-        (parity: /root/reference/trainer.py:164-199)."""
+        (parity: /root/reference/trainer.py:164-199). Multi-host: each host
+        evaluates its input shard; per-host (sum, count) pairs are allgathered
+        and the global mean is identical on every host."""
         assert self.test_loader is not None
-        n_test = len(self.test_loader.dataset)
+        n_test = (
+            self.test_loader.num_samples()
+            if hasattr(self.test_loader, "num_samples")
+            else len(self.test_loader.dataset)
+        )
         pred_all = np.zeros((n_test, 2))
         gt_all = np.zeros((n_test, 2))
         save_index = 0
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        # Each host pads its LOCAL batch to a multiple of its local device
+        # count; the assembled global batch is then mesh-divisible.
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        n_dev_local = max(n_dev // jax.process_count(), 1)
 
         def pad_for_mesh(batch):
             # A ragged final batch cannot shard over the mesh; pad with
             # repeats of the last sample and trim predictions afterwards.
             bs = int(batch["img_0"].shape[0])
-            pad = (-bs) % n_dev
+            pad = (-bs) % n_dev_local
             if pad == 0:
                 return batch, bs
             batch = {
@@ -358,33 +389,50 @@ class Trainer:
             for b in iter(self.test_loader):
                 yield pad_for_mesh(b)
 
+        from rot_mvgaze_tpu.parallel.mesh import put_sharded
+
         for i, (batch, bs) in enumerate(batches()):
             if sharding is not None:
                 batch = jax.tree.map(
-                    lambda x: jax.device_put(x, sharding)
+                    lambda x: put_sharded(x, sharding)
                     if getattr(x, "ndim", 0) > 0
                     else x,
                     batch,
                 )
             out = self._eval_step(self.state.params, self.state.batch_stats, batch)
-            pred_all[save_index : save_index + bs] = np.asarray(out["pred_gaze"])[:bs]
-            gt_all[save_index : save_index + bs] = np.asarray(out["gt_gaze"])[:bs]
+            pred_all[save_index : save_index + bs] = self._to_local_numpy(
+                out["pred_gaze"]
+            )[:bs]
+            gt_all[save_index : save_index + bs] = self._to_local_numpy(
+                out["gt_gaze"]
+            )[:bs]
             save_index += bs
             if i != 0 and i % self.print_freq == 0:
                 for view in ("img_0", "img_1"):
                     self.writer.add_image(
                         f"test/images_{view[-1]}",
-                        make_image_grid(np.asarray(out[view])),
+                        make_image_grid(self._to_local_numpy(out[view])),
                         i,
                     )
         if save_index != n_test:
             print(f"test saved {save_index} != dataset size {n_test}")
-        avg_error = float(
-            np.mean(angular_error_numpy(pred_all[:save_index], gt_all[:save_index]))
-        )
+        errors = angular_error_numpy(pred_all[:save_index], gt_all[:save_index])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            agg = np.asarray(
+                multihost_utils.process_allgather(
+                    np.array([errors.sum(), float(save_index)], np.float64)
+                )
+            ).reshape(-1, 2)
+            avg_error = float(agg[:, 0].sum() / agg[:, 1].sum())
+        else:
+            avg_error = float(np.mean(errors))
         msg = f"test on epoch {epoch + 1}, error: {avg_error}\n"
         print(msg, end="")
-        self.writer.add_scalar("test/epoch_error_gaze", avg_error, epoch)
+        # logged at epoch+1 (pre-training eval -> step 0): TensorBoard
+        # mishandles negative steps (VERDICT r1).
+        self.writer.add_scalar("test/epoch_error_gaze", avg_error, epoch + 1)
         with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
             f.write(msg)
         self.writer.flush()

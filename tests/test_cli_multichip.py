@@ -1,0 +1,236 @@
+"""Multi-chip training through the user-facing CLI (VERDICT r1 item 1) and
+the multi-host helpers (item 7), on the 8-virtual-device CPU mesh."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rot_mvgaze_tpu.cli.main import build_experiment, get_parser, main
+from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
+from rot_mvgaze_tpu.parallel.distributed import (
+    host_shard,
+    local_batch_to_global,
+)
+from rot_mvgaze_tpu.parallel.mesh import make_mesh
+
+
+def _make_corpus(tmp_path, exp="mpiinv"):
+    """Synthetic HDF5 corpus for the full subject list + data_path.yaml."""
+    root = tmp_path / exp
+    root.mkdir(parents=True)
+    proj = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(proj, "configs", "subject", f"{exp}.yaml")) as f:
+        subjects = yaml.safe_load(f)["subject"]
+    write_synthetic_dataset(str(root), subjects, n_frames=1, image_size=32)
+    dp = tmp_path / "data_path.yaml"
+    with open(dp, "w") as f:
+        yaml.safe_dump({exp: str(root)}, f)
+    return str(dp)
+
+
+class TestCLIMesh:
+    def test_build_experiment_constructs_mesh(self, tmp_path):
+        """--dp (default) builds a 1-D data mesh over all 8 devices and
+        rounds the global batch to a device multiple."""
+        data_path = _make_corpus(tmp_path)
+        args = get_parser().parse_args(
+            [
+                "--mode", "train", "--exp_name", "mpiinv_known",
+                "--data_path", data_path,
+                "--output_dir", str(tmp_path / "logs"),
+                "--batch_size", "30",  # not divisible by 8 -> rounded to 24
+                "--test_batch_size", "32",
+                "--image_size", "32", "--backbone_depth", "18",
+                "--num_iter", "1", "--epochs", "1", "--num_workers", "2",
+                "--native_loader", "false",
+            ]
+        )
+        trainer = build_experiment(args)
+        assert trainer.mesh is not None
+        assert trainer.mesh.devices.size == 8
+        assert trainer.mesh.axis_names == ("data",)
+        assert args.batch_size == 24
+        # single-process: loaders see the full dataset, no host shard
+        assert trainer.train_loader.process_shard is None
+        assert trainer.train_loader.batch_size == 24
+
+    def test_build_experiment_dp_off(self, tmp_path):
+        data_path = _make_corpus(tmp_path)
+        args = get_parser().parse_args(
+            [
+                "--mode", "train", "--exp_name", "mpiinv_known",
+                "--data_path", data_path,
+                "--output_dir", str(tmp_path / "logs"),
+                "--batch_size", "30", "--image_size", "32",
+                "--backbone_depth", "18", "--num_iter", "1",
+                "--native_loader", "false", "--dp", "false",
+            ]
+        )
+        trainer = build_experiment(args)
+        assert trainer.mesh is None
+        assert args.batch_size == 30  # untouched
+
+    def test_cli_train_end_to_end_on_mesh(self, tmp_path):
+        """`python main.py --mode train` trains + evals + checkpoints over
+        the 8-device mesh — the reference's missing capability
+        (/root/reference/main.py:212 is single-device)."""
+        data_path = _make_corpus(tmp_path)
+        out = tmp_path / "logs"
+        rc = main(
+            [
+                "--mode", "train", "--exp_name", "mpiinv_known",
+                "--data_path", data_path, "--output_dir", str(out),
+                "--batch_size", "64", "--test_batch_size", "64",
+                "--image_size", "32", "--backbone_depth", "18",
+                "--num_iter", "1", "--epochs", "1", "--save_epoch", "1",
+                "--print_freq", "2", "--num_workers", "2",
+            ]
+        )
+        assert rc == 0
+        # find the timestamped run dir and check the observability surface
+        runs = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(out)
+            for f in fs
+            if f == "test_results.txt"
+        ]
+        assert len(runs) == 1
+        with open(runs[0]) as f:
+            lines = f.read().strip().splitlines()
+        assert len(lines) == 2  # pre-train eval + epoch 1 eval
+        assert all(np.isfinite(float(l.rsplit(" ", 1)[-1])) for l in lines)
+        ckpts = [
+            f
+            for r, _, fs in os.walk(out)
+            for f in fs
+            if f.endswith(".msgpack")
+        ]
+        assert len(ckpts) == 1
+
+
+class TestHostShard:
+    def test_host_shard_single_process(self):
+        assert host_shard(10) == (0, 10)
+
+    def test_host_shard_arithmetic(self):
+        """Simulated p-host split: ranges tile [0, n) without gaps/overlap."""
+        from unittest import mock
+
+        for n, p in [(10, 3), (8, 8), (7, 2), (5, 6)]:
+            ranges = []
+            with mock.patch.object(jax, "process_count", return_value=p):
+                for i in range(p):
+                    with mock.patch.object(
+                        jax, "process_index", return_value=i
+                    ):
+                        ranges.append(host_shard(n))
+            assert ranges[0][0] == 0 and ranges[-1][1] == n
+            for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+                assert a1 == b0
+            assert max(r[1] - r[0] for r in ranges) - min(
+                r[1] - r[0] for r in ranges
+            ) <= 1
+
+
+class TestProcessShardedLoaders:
+    def test_shards_are_disjoint_equal_and_cover(self, tmp_path):
+        """Per-host loader shards partition the (seeded) global order."""
+        from rot_mvgaze_tpu.data import BatchLoader, GazeDataset
+
+        root = tmp_path / "data"
+        root.mkdir()
+        write_synthetic_dataset(str(root), ["s00.h5"], n_frames=2, image_size=16)
+        ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
+        n, p = len(ds), 3
+        all_idx = []
+        for i in range(p):
+            loader = BatchLoader(
+                ds, batch_size=4, shuffle=True, seed=5,
+                process_shard=(i, p),
+            )
+            idxs = np.concatenate(list(loader._batch_indices()))
+            assert loader.num_samples() == n // p
+            assert len(idxs) == n // p
+            all_idx.append(idxs)
+        cat = np.concatenate(all_idx)
+        assert len(np.unique(cat)) == len(cat)  # disjoint
+        assert len(cat) == (n // p) * p
+
+    def test_native_loader_shards_match_contract(self, tmp_path):
+        from rot_mvgaze_tpu.data.native import (
+            NativeBatchLoader,
+            NativePool,
+            PackedGazeDataset,
+        )
+
+        if not NativePool.available():
+            pytest.skip("no C++ toolchain")
+        write_synthetic_dataset(str(tmp_path), ["a.h5"], n_frames=2)
+        ds = PackedGazeDataset("xgaze", str(tmp_path), "bgr", ["a.h5"], seed=0)
+        n, p = len(ds), 2
+        seen = []
+        for i in range(p):
+            loader = NativeBatchLoader(
+                ds, batch_size=4, shuffle=True, seed=3, process_shard=(i, p)
+            )
+            assert loader.num_samples() == n // p
+            seen.append(np.concatenate([b["idx_0"] for b in loader]))
+        # same global order on both "hosts" -> together they cover n//p * p
+        # of the pair index rows (idx_0 values may repeat across pairs, so
+        # check counts, not uniqueness)
+        assert sum(len(s) for s in seen) == (n // p) * p
+
+
+class TestLocalBatchToGlobal:
+    def test_feeds_one_train_step(self):
+        """make_array_from_process_local_data path drives a full DP train
+        step (single-process: local data == global batch)."""
+        from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+        from rot_mvgaze_tpu.models import FeatRotationSymm
+        from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
+        from rot_mvgaze_tpu.train.schedule import cyclic_triangular2
+        from rot_mvgaze_tpu.train.steps import make_train_step
+        from rot_mvgaze_tpu.train.trainer import TrainState, make_optimizer
+
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        metrics = IterationLoss(loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5)
+        tx = make_optimizer(cyclic_triangular2(1e-4, 1e-4, 5, 5))
+        rng = np.random.default_rng(1)
+        batch = {
+            "img_0": rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8),
+            "img_1": rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8),
+            "gt_gaze": rng.uniform(-1, 1, (8, 2)).astype(np.float32),
+            "gt_gaze_1": rng.uniform(-1, 1, (8, 2)).astype(np.float32),
+            "head_pose_0": rng.uniform(-0.8, 0.8, (8, 2)).astype(np.float32),
+            "head_pose_1": rng.uniform(-0.8, 0.8, (8, 2)).astype(np.float32),
+        }
+        init_data = {
+            "img_0": jnp.zeros((2, 32, 32, 3)),
+            "img_1": jnp.zeros((2, 32, 32, 3)),
+            "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+            "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        }
+        variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
+        mesh = make_mesh()
+        state = jax.device_put(
+            TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=tx.init(variables["params"]),
+            ),
+            replicated_sharding(mesh),
+        )
+        gbatch = local_batch_to_global(batch, mesh)
+        for v in gbatch.values():
+            assert v.sharding.spec == jax.sharding.PartitionSpec("data")
+        step = jax.jit(make_train_step(model, metrics, tx, image_size=32))
+        state, stats = step(state, gbatch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(stats["loss_gaze"]))

@@ -219,6 +219,73 @@ def test_pretrained_backbone_init():
     )
 
 
+def test_bn_running_stats_parity_after_train_steps():
+    """Default-path BN must track torch BatchNorm2d's running stats: torch
+    normalizes with the biased batch variance but stores the UNBIASED one in
+    running_var (Bessel correction) — flax nn.BatchNorm stores the biased
+    variance, which this repo's TorchBatchNorm corrects (VERDICT r1 item 4)."""
+    import jax
+    import torch
+
+    ref_rot_mv, _ = import_reference_models()
+    config = dict(backbone_depth=18, num_iter=1)
+    torch.manual_seed(0)
+    ref = ref_rot_mv.FeatRotationSymm(**config)
+    # copy(): state_dict tensors alias the live buffers, which torch's later
+    # train-mode forwards mutate in place (running stats).
+    sd0 = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    variables = jax.tree.map(
+        lambda x: np.asarray(x, np.float32),
+        convert_rot_mv_state_dict(sd0, **config),
+    )
+    model = FeatRotationSymm(**config)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    ref.train(True)
+    for step in range(3):
+        img_0, img_1, hp_0, hp_1 = _make_inputs(batch=4, size=64, seed=10 + step)
+        rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+        with torch.no_grad():
+            ref(
+                {
+                    "img_0": torch.from_numpy(img_0),
+                    "img_1": torch.from_numpy(img_1),
+                    "rot_0": torch.from_numpy(rot_0),
+                    "rot_1": torch.from_numpy(rot_1),
+                }
+            )
+        data = {
+            "img_0": np.transpose(img_0, (0, 2, 3, 1)),
+            "img_1": np.transpose(img_1, (0, 2, 3, 1)),
+            "rot_0": rot_0,
+            "rot_1": rot_1,
+        }
+        # Batch stats feed back into the NEXT step's normalization, so conv
+        # rounding compounds across steps: pin convs to f32 accumulation
+        # (XLA's default CPU/TPU conv precision is lower than torch's f32).
+        with jax.default_matmul_precision("highest"):
+            _, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                data,
+                train=True,
+                mutable=["batch_stats"],
+            )
+        batch_stats = updates["batch_stats"]
+
+    sd_ref = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd_ours = flax_to_torch_state_dict(
+        {"params": params, "batch_stats": jax.device_get(batch_stats)}, **config
+    )
+    checked = 0
+    for k, want in sd_ref.items():
+        if k.endswith(("running_mean", "running_var")):
+            np.testing.assert_allclose(
+                sd_ours[k], want, atol=2e-4, rtol=2e-4, err_msg=k
+            )
+            checked += 1
+    assert checked > 20  # every BN in the twin-R18 + heads
+
+
 def test_north_star_angular_delta():
     """BASELINE north star: converted-checkpoint outputs must be within
     0.1 deg angular error of the reference's, sample-by-sample."""

@@ -54,3 +54,26 @@ class TestEvaluateGaze:
         vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
         err = evaluate_gaze(m, vs, loader, image_size=32, single_view=True)
         assert np.isfinite(err) and 0 < err < 180
+
+    def test_ragged_final_batch_compiles_once(self, tmp_path):
+        """evaluate_gaze must pad the ragged final batch to the full batch
+        shape so the jitted step traces exactly once (a second trace is a
+        second multi-minute compile on a tunneled TPU)."""
+        write_synthetic_h5(str(tmp_path / "s.h5"), n_frames=2, image_size=32)
+        ds = GazeDataset("xgaze", str(tmp_path), "bgr", ["s.h5"], stereo=False)
+        assert len(ds) % 10 != 0  # guarantee a ragged final batch
+        loader = BatchLoader(ds, batch_size=10)
+        inner = SingleViewGazeNet(backbone_depth=18)
+        vs = inner.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        traces = []
+
+        class CountingModel:
+            def apply(self, variables, data, train=False):
+                traces.append(data["img_0"].shape)
+                return inner.apply(variables, data, train=train)
+
+        err = evaluate_gaze(
+            CountingModel(), vs, loader, image_size=32, single_view=True
+        )
+        assert np.isfinite(err)
+        assert len(traces) == 1, traces  # one trace == one compile
