@@ -158,13 +158,14 @@ def random_affine(
 ) -> jnp.ndarray:
     """torchvision RandomAffine(degrees=0, scale, translate) on one (H,W,C)
     image (/root/reference/main.py:44): scale ~ U[lo, hi], shift
-    ~ U[-t*W, t*W] px, nearest interpolation, zero fill."""
+    ~ round(U[-t*W, t*W]) px (torchvision RandomAffine.get_params rounds
+    translations to whole pixels), nearest interpolation, zero fill."""
     h, w = img.shape[0], img.shape[1]
     k_s, k_tx, k_ty = jax.random.split(key, 3)
     scale = jax.random.uniform(k_s, (), minval=scale_range[0], maxval=scale_range[1])
     max_dx, max_dy = translate[0] * w, translate[1] * h
-    tx = jax.random.uniform(k_tx, (), minval=-max_dx, maxval=max_dx)
-    ty = jax.random.uniform(k_ty, (), minval=-max_dy, maxval=max_dy)
+    tx = jnp.round(jax.random.uniform(k_tx, (), minval=-max_dx, maxval=max_dx))
+    ty = jnp.round(jax.random.uniform(k_ty, (), minval=-max_dy, maxval=max_dy))
     return _affine_warp_nearest(img, scale, tx, ty)
 
 

@@ -72,3 +72,12 @@ def import_reference_models():
     ref_rot_mv.resnet18 = lambda pretrained=True: ref_resnet.resnet18(False)
     ref_rot_mv.resnet50 = lambda pretrained=True: ref_resnet.resnet50(False)
     return ref_rot_mv, ref_resnet
+
+
+def import_reference_augment():
+    """Import the reference's ``utils.augment`` (RandomMultiErasing oracle,
+    /root/reference/utils/augment.py:10-47 — pure torch, runnable today)."""
+    import_reference_models()  # installs stubs + sys.path
+    import utils.augment as ref_augment  # type: ignore
+
+    return ref_augment
