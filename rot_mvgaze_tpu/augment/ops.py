@@ -33,16 +33,22 @@ IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
 _MAX_ERASE_GRID = 20
 
 
-def to_float(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [0,255] -> float32 [0,1] (torchvision ToTensor, minus the HWC->CHW
-    transpose: we stay NHWC)."""
-    return img_u8.astype(jnp.float32) / 255.0
+def to_float(img_u8: jnp.ndarray, dtype: Any = jnp.float32) -> jnp.ndarray:
+    """uint8 [0,255] -> float [0,1] (torchvision ToTensor, minus the HWC->CHW
+    transpose: we stay NHWC). ``dtype`` sets the augmentation pipeline's
+    compute dtype: bfloat16 halves the HBM traffic of every augment pass
+    (quantization ~0.4%/pixel — same order as the reference's own PIL-uint8
+    per-op quantization, train-time stochastic path only)."""
+    return img_u8.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
 
 
 def normalize(img: jnp.ndarray) -> jnp.ndarray:
     """ImageNet normalization over the trailing channel axis
-    (/root/reference/main.py:38-39,47)."""
-    return (img - IMAGENET_MEAN) / IMAGENET_STD
+    (/root/reference/main.py:38-39,47) as one fused affine in the image's
+    own dtype (f32 constants pre-folded)."""
+    inv_std = (1.0 / IMAGENET_STD).astype(img.dtype)
+    shift = (IMAGENET_MEAN / IMAGENET_STD).astype(img.dtype)
+    return img * inv_std - shift
 
 
 def resize_bilinear(img: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -61,12 +67,13 @@ _GRAY_W = jnp.array([0.299, 0.587, 0.114], jnp.float32)  # ITU-R 601-2 luma
 
 
 def _blend(a: jnp.ndarray, b: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(f * a + (1.0 - f) * b, 0.0, 1.0)
+    f = f.astype(a.dtype)  # keep the elementwise pass in the pipeline dtype
+    return jnp.clip(f * a + (1 - f) * b, 0, 1)
 
 
 def _jitter_one(img: jnp.ndarray, op: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
     """Apply jitter op {0: brightness, 1: contrast, 2: saturation} to (H,W,C)."""
-    gray = jnp.tensordot(img, _GRAY_W, axes=([-1], [0]))[..., None]
+    gray = jnp.tensordot(img, _GRAY_W.astype(img.dtype), axes=([-1], [0]))[..., None]
 
     def brightness(x):
         return _blend(x, jnp.zeros_like(x), factor)
@@ -217,10 +224,13 @@ def random_multi_erasing(
 
 
 def _train_preprocess_one(
-    key: jax.Array, img_u8: jnp.ndarray, image_size: int
+    key: jax.Array,
+    img_u8: jnp.ndarray,
+    image_size: int,
+    dtype: Any = jnp.float32,
 ) -> jnp.ndarray:
     k_jit, k_aff, k_erase = jax.random.split(key, 3)
-    x = to_float(img_u8)
+    x = to_float(img_u8, dtype)
     x = color_jitter(k_jit, x)
     x = random_affine(k_aff, x)
     x = resize_bilinear(x, image_size)
@@ -229,19 +239,23 @@ def _train_preprocess_one(
     return x
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(jax.jit, static_argnums=(2, 3))
 def train_preprocess(
-    key: jax.Array, img_u8: jnp.ndarray, image_size: int = 224
+    key: jax.Array,
+    img_u8: jnp.ndarray,
+    image_size: int = 224,
+    dtype: Any = jnp.float32,
 ) -> jnp.ndarray:
-    """Train-time stack over a (B,H,W,3) uint8 batch -> (B,S,S,3) float32.
+    """Train-time stack over a (B,H,W,3) uint8 batch -> (B,S,S,3) float.
 
     Order matches /root/reference/main.py:41-49: jitter -> affine -> to-float
-    semantics folded -> resize -> normalize -> multi-erasing.
+    semantics folded -> resize -> normalize -> multi-erasing. ``dtype``
+    selects the pipeline compute dtype (bfloat16 halves HBM traffic).
     """
     keys = jax.random.split(key, img_u8.shape[0])
-    return jax.vmap(lambda k, im: _train_preprocess_one(k, im, image_size))(
-        keys, img_u8
-    )
+    return jax.vmap(
+        lambda k, im: _train_preprocess_one(k, im, image_size, dtype)
+    )(keys, img_u8)
 
 
 @partial(jax.jit, static_argnums=(1,))

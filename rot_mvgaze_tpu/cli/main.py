@@ -79,8 +79,11 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    choices=["epoch", "iteration"],
                    help="'epoch' reproduces the reference's per-epoch "
                         "CyclicLR stepping quirk")
-    p.add_argument("--bf16", type=str2bool, default=False,
-                   help="bfloat16 compute (params stay f32)")
+    p.add_argument("--bf16", type=str2bool, default=True,
+                   help="bfloat16 training compute (params stay f32; eval "
+                        "always runs f32 so the metric is unaffected). This "
+                        "default matches the benched configuration "
+                        "(docs/PERF.md); --bf16 false for f32 training")
     p.add_argument("--data_path", type=str, default=None,
                    help="override path to data_path.yaml")
     p.add_argument("--native_loader", type=str2bool, default=True,

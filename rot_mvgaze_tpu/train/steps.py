@@ -34,7 +34,10 @@ def prepare_rotations(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def augment_views(
-    key: jax.Array, batch: Dict[str, Any], image_size: int
+    key: jax.Array,
+    batch: Dict[str, Any],
+    image_size: int,
+    dtype: Any = jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
     """Apply the stochastic train stack to both uint8 views."""
     k0, k1 = jax.random.split(key)
@@ -43,7 +46,7 @@ def augment_views(
     for view, k in (("img_0", k0), ("img_1", k1)):
         keys = jax.random.split(k, n)
         out[view] = jax.vmap(
-            lambda kk, im: _train_preprocess_one(kk, im, image_size)
+            lambda kk, im: _train_preprocess_one(kk, im, image_size, dtype)
         )(keys, batch[view])
     return out
 
@@ -55,6 +58,7 @@ def make_train_step(
     image_size: int = 224,
     schedule: Callable = None,
     with_images: bool = False,
+    augment_dtype: Any = None,
 ) -> Callable:
     """Returns ``(state, batch, key) -> (state, stats)``.
 
@@ -63,8 +67,17 @@ def make_train_step(
     """
     from rot_mvgaze_tpu.train.trainer import TrainState
 
+    # Default the augmentation pipeline to the model's compute dtype: with a
+    # bf16 model the augment passes are pure overhead at f32 (the model casts
+    # immediately), so run them at bf16 too.
+    aug_dtype = (
+        augment_dtype
+        if augment_dtype is not None
+        else getattr(model, "dtype", jnp.float32)
+    )
+
     def train_step(state, batch: Dict[str, Any], key: jax.Array):
-        imgs = augment_views(key, batch, image_size)
+        imgs = augment_views(key, batch, image_size, aug_dtype)
         data = {**imgs, **prepare_rotations(batch)}
 
         def loss_fn(params):
@@ -96,8 +109,8 @@ def make_train_step(
         if schedule is not None:
             stats["lr"] = schedule(state.step)
         if with_images:
-            stats["img_0"] = data["img_0"][:8]
-            stats["img_1"] = data["img_1"][:8]
+            stats["img_0"] = data["img_0"][:8].astype(jnp.float32)
+            stats["img_1"] = data["img_1"][:8].astype(jnp.float32)
         return new_state, stats
 
     return train_step

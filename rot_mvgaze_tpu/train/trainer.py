@@ -212,7 +212,15 @@ class Trainer:
             ),
             donate_argnums=(0,),
         )
-        self._eval_step = jax.jit(make_eval_step(self.model, self.image_size))
+        # Eval always runs float32 regardless of the training compute dtype:
+        # params are f32 either way, and the headline metric (mean angular
+        # error vs the reference checkpoints, BASELINE.md) must not absorb
+        # bf16 forward rounding. Training can therefore default to bf16
+        # without touching metric parity.
+        eval_model = self.model
+        if getattr(self.model, "dtype", jnp.float32) != jnp.float32:
+            eval_model = self.model.clone(dtype=jnp.float32)
+        self._eval_step = jax.jit(make_eval_step(eval_model, self.image_size))
 
     # ------------------------------------------------------------------
     def _init_variables(self) -> Dict[str, Any]:

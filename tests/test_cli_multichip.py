@@ -188,6 +188,49 @@ class TestProcessShardedLoaders:
         assert sum(len(s) for s in seen) == (n // p) * p
 
 
+class TestOrbaxUnderMesh:
+    def test_orbax_roundtrip_restores_onto_mesh(self, tmp_path):
+        """Orbax save of a mesh-replicated TrainState restores directly onto
+        the mesh sharding (the multi-host checkpoint path)."""
+        pytest.importorskip("orbax.checkpoint")
+        from rot_mvgaze_tpu.models import SingleViewGazeNet
+        from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
+        from rot_mvgaze_tpu.train.checkpoints import (
+            restore_state_orbax,
+            save_state_orbax,
+        )
+        from rot_mvgaze_tpu.train.schedule import cyclic_triangular2
+        from rot_mvgaze_tpu.train.trainer import TrainState, make_optimizer
+
+        model = SingleViewGazeNet(backbone_depth=18)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        tx = make_optimizer(cyclic_triangular2(1e-4, 1e-4, 5, 5))
+        mesh = make_mesh()
+        rep = replicated_sharding(mesh)
+        state = jax.device_put(
+            TrainState(
+                step=jnp.asarray(7, jnp.int32),
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=tx.init(variables["params"]),
+            ),
+            rep,
+        )
+        path = save_state_orbax(str(tmp_path / "ckpt_orbax"), state)
+
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep),
+            state,
+        )
+        restored = restore_state_orbax(path, template)
+        assert int(restored.step) == 7
+        leaf_r = jax.tree.leaves(restored.params)[0]
+        leaf_s = jax.tree.leaves(state.params)[0]
+        np.testing.assert_array_equal(np.asarray(leaf_r), np.asarray(leaf_s))
+        assert leaf_r.sharding.is_fully_replicated
+        assert leaf_r.sharding.mesh.devices.size == 8
+
+
 class TestLocalBatchToGlobal:
     def test_feeds_one_train_step(self):
         """make_array_from_process_local_data path drives a full DP train

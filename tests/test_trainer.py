@@ -128,6 +128,29 @@ class TestTrainerEndToEnd:
         b = np.asarray(trainer2.state.params["backbone"]["conv1"]["kernel"])
         np.testing.assert_array_equal(a, b)
 
+    def test_bf16_training_evals_in_f32(self, tmp_path, loaders):
+        """With bf16 compute (the CLI default), eval must still run f32 —
+        the parity metric cannot absorb bf16 forward rounding."""
+        import jax
+
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path)
+        model16 = FeatRotationSymm(
+            backbone_depth=18, num_iter=1, dtype=jnp.bfloat16
+        )
+        t16 = Trainer(cfg, model16, _metrics(), train_loader, test_loader)
+        model32 = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        t32 = Trainer(
+            cfg, model32, _metrics(), train_loader, test_loader,
+            init_variables={
+                "params": jax.device_get(t16.state.params),
+                "batch_stats": jax.device_get(t16.state.batch_stats),
+            },
+        )
+        e16 = t16.test(-1)
+        e32 = t32.test(-1)
+        assert e16 == pytest.approx(e32, abs=1e-9)
+
     def test_export_torch_checkpoint_is_strict_loadable(self, tmp_path, loaders):
         """The exported .pth.tar must carry the keys the reference's
         load_state_dict(strict=True) requires but never uses
