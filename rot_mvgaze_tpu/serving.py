@@ -8,7 +8,10 @@ provides a compiled, fixed-shape predictor:
 - jits the eval pipeline (uint8 -> normalize -> forward) ONCE at a fixed
   micro-batch size and serves arbitrary request sizes by slicing/padding —
   static shapes mean a single cached executable, no recompiles in prod;
-- bfloat16 compute by default; pitchyaw outputs in float32.
+- bfloat16 compute by default; pitchyaw outputs in float32;
+- optional data-parallel serving over a ``jax.sharding.Mesh``: the
+  micro-batch shards across chips (params replicated), scaling serving
+  throughput linearly over ICI.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ class GazePredictor:
         image_size: int = 224,
         dtype: Any = jnp.bfloat16,
         use_pallas_fusion: bool = False,
+        mesh: Any = None,
     ) -> None:
         self.model = FeatRotationSymm(
             backbone_depth=backbone_depth,
@@ -51,9 +55,26 @@ class GazePredictor:
             dtype=dtype,
             use_pallas_fusion=use_pallas_fusion,
         )
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            # round the executable's batch up to a device multiple
+            micro_batch = -(-micro_batch // n_dev) * n_dev
         self.micro_batch = micro_batch
         self.image_size = image_size
         self.variables = self._load(checkpoint)
+        if mesh is not None:
+            from rot_mvgaze_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            self.variables = jax.device_put(
+                self.variables, replicated_sharding(mesh)
+            )
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
         self._forward = jax.jit(self._forward_fn)
 
     def _load(self, path: str) -> Dict[str, Any]:
@@ -127,6 +148,8 @@ class GazePredictor:
                     x = np.concatenate(
                         [x, np.repeat(x[-1:], pad, axis=0)], axis=0
                     )
+                if self._batch_sharding is not None:
+                    x = jax.device_put(x, self._batch_sharding)
                 return x
 
             pred = self._forward(

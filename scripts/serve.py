@@ -116,11 +116,22 @@ def main() -> int:
     p.add_argument("--micro_batch", type=int, default=64)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--f32", action="store_true", help="float32 compute")
+    p.add_argument("--dp", action="store_true",
+                   help="shard each micro-batch over ALL visible chips "
+                        "(data-parallel serving; params replicated)")
     args = p.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from rot_mvgaze_tpu.serving import GazePredictor
+
+    mesh = None
+    if args.dp and jax.device_count() > 1:
+        from rot_mvgaze_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"serving data-parallel over {mesh.devices.size} chips")
 
     predictor = GazePredictor(
         args.ckpt,
@@ -129,6 +140,7 @@ def main() -> int:
         micro_batch=args.micro_batch,
         image_size=args.image_size,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        mesh=mesh,
     )
     # warm the executable so the first request is fast
     s = args.image_size

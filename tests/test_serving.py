@@ -59,6 +59,31 @@ class TestGazePredictor:
         )
         np.testing.assert_allclose(out, single, atol=1e-5)
 
+    def test_mesh_serving_matches_single_device(self, ckpt_path):
+        """Data-parallel serving over the 8-device mesh: micro-batch rounded
+        to a device multiple, outputs identical to single-device serving."""
+        from rot_mvgaze_tpu.parallel.mesh import make_mesh
+
+        kw = dict(
+            backbone_depth=18, num_iter=1, image_size=32, dtype=jnp.float32
+        )
+        single = GazePredictor(ckpt_path, micro_batch=8, **kw)
+        sharded = GazePredictor(
+            ckpt_path, micro_batch=6, mesh=make_mesh(), **kw
+        )
+        assert sharded.micro_batch == 8  # rounded up to 8 devices
+        rng = np.random.default_rng(1)
+        n = 11
+        args = (
+            rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8),
+            rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8),
+            rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32),
+            rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32),
+        )
+        np.testing.assert_allclose(
+            sharded.predict(*args), single.predict(*args), atol=1e-5
+        )
+
     def test_loads_torch_checkpoint(self, tmp_path):
         pytest.importorskip("torch")
         from reference_harness import reference_available
