@@ -1,0 +1,72 @@
+"""TRUE multi-process data parallelism: 2 jax processes x 4 virtual CPU
+devices over one localhost coordinator — the closest single-machine
+approximation of a 2-host TPU job. Exercises jax.distributed.initialize,
+the global mesh, per-host input sharding, per-host batch assembly via
+make_array_from_process_local_data, and the eval metric allgather."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_trains_and_agrees(tmp_path):
+    from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_synthetic_dataset(str(data_dir), ["s00.h5"], n_frames=2, image_size=32)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own 4-device flag
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(HERE, "_mp_worker.py"),
+                str(port), str(i), str(data_dir), str(out_dir),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    errs = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MPFINAL"):
+                _, pid, err = line.split()
+                errs[int(pid)] = float(err)
+    assert set(errs) == {0, 1}, outs
+    assert np.isfinite(errs[0])
+    # the allgathered global metric must be identical on both hosts
+    assert errs[0] == pytest.approx(errs[1], abs=1e-9), errs
