@@ -286,6 +286,67 @@ def test_bn_running_stats_parity_after_train_steps():
     assert checked > 20  # every BN in the twin-R18 + heads
 
 
+def test_intensity_bn_running_std_parity_after_train_steps():
+    """share_feature path: IntensityBatchNorm's running-std buffer (momentum
+    0.05, updated BEFORE the division, /root/reference/models/rot_mv.py:13-32)
+    must track torch's across train-mode forwards."""
+    import jax
+    import torch
+
+    ref_rot_mv, _ = import_reference_models()
+    config = dict(backbone_depth=18, num_iter=2, share_feature=True)
+    torch.manual_seed(0)
+    ref = ref_rot_mv.FeatRotationSymm(
+        share_weights=False, encode_rotmat=False, ignore_rotmat=False, **config
+    )
+    sd0 = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    variables = jax.tree.map(
+        lambda x: np.asarray(x, np.float32),
+        convert_rot_mv_state_dict(sd0, **config),
+    )
+    model = FeatRotationSymm(**config)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    ref.train(True)
+    for step in range(3):
+        img_0, img_1, hp_0, hp_1 = _make_inputs(batch=4, size=64, seed=20 + step)
+        rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+        with torch.no_grad():
+            ref(
+                {
+                    "img_0": torch.from_numpy(img_0.copy()),
+                    "img_1": torch.from_numpy(img_1.copy()),
+                    "rot_0": torch.from_numpy(rot_0.copy()),
+                    "rot_1": torch.from_numpy(rot_1.copy()),
+                }
+            )
+        data = {
+            "img_0": np.transpose(img_0, (0, 2, 3, 1)),
+            "img_1": np.transpose(img_1, (0, 2, 3, 1)),
+            "rot_0": rot_0,
+            "rot_1": rot_1,
+        }
+        with jax.default_matmul_precision("highest"):
+            _, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                data,
+                train=True,
+                mutable=["batch_stats"],
+            )
+        batch_stats = updates["batch_stats"]
+
+    sd_ref = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd_ours = flax_to_torch_state_dict(
+        {"params": params, "batch_stats": jax.device_get(batch_stats)}, **config
+    )
+    keys = [k for k in sd_ref if k.endswith("_batchnorm.running_mean")]
+    assert keys, list(sd_ref)[:5]
+    for k in keys:
+        np.testing.assert_allclose(
+            sd_ours[k], sd_ref[k], atol=2e-4, rtol=2e-3, err_msg=k
+        )
+
+
 def test_north_star_angular_delta():
     """BASELINE north star: converted-checkpoint outputs must be within
     0.1 deg angular error of the reference's, sample-by-sample."""
