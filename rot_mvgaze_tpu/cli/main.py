@@ -103,6 +103,8 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--auto_resume_dir", type=str, default=None,
                    help="resume from the newest .msgpack checkpoint in this "
                         "directory (preemption recovery)")
+    p.add_argument("--keep_last_n", type=int, default=0,
+                   help="retain only the newest N checkpoints (0 = keep all)")
     p.add_argument("--dp", type=str2bool, default=True,
                    help="data-parallel training over ALL visible chips "
                         "(jax.sharding Mesh; multi-host via jax.distributed). "

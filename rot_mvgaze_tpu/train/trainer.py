@@ -454,6 +454,18 @@ class Trainer:
         path = osp.join(self.ckpt_dir, name + ".msgpack")
         save_state(path, self.state)
         print(f"save file to: {path}")
+        # Retention: keep only the newest N checkpoints when configured
+        # (long preemption-heavy runs otherwise accumulate full-state saves).
+        keep = int(getattr(self.config, "keep_last_n", 0) or 0)
+        if keep > 0:
+            import glob
+
+            ckpts = sorted(
+                glob.glob(osp.join(self.ckpt_dir, "*.msgpack")),
+                key=os.path.getmtime,
+            )
+            for old in ckpts[:-keep]:
+                os.remove(old)
         return path
 
     def export_torch_checkpoint(self, path: str) -> str:

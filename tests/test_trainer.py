@@ -128,6 +128,16 @@ class TestTrainerEndToEnd:
         b = np.asarray(trainer2.state.params["backbone"]["conv1"]["kernel"])
         np.testing.assert_array_equal(a, b)
 
+    def test_keep_last_n_checkpoint_retention(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, keep_last_n=2)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        for i in range(4):
+            trainer.save_checkpoint(add=f"epoch_{i:02d}")
+        kept = sorted(os.listdir(trainer.ckpt_dir))
+        assert kept == ["epoch_02.msgpack", "epoch_03.msgpack"], kept
+
     def test_bf16_training_evals_in_f32(self, tmp_path, loaders):
         """With bf16 compute (the CLI default), eval must still run f32 —
         the parity metric cannot absorb bf16 forward rounding."""
