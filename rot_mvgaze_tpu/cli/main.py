@@ -105,6 +105,9 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "directory (preemption recovery)")
     p.add_argument("--keep_last_n", type=int, default=0,
                    help="retain only the newest N checkpoints (0 = keep all)")
+    p.add_argument("--export_torch", type=str, default=None,
+                   help="after the run, export params as a reference-format "
+                        ".pth.tar (loads in the reference with strict=True)")
     p.add_argument("--dp", type=str2bool, default=True,
                    help="data-parallel training over ALL visible chips "
                         "(jax.sharding Mesh; multi-host via jax.distributed). "
@@ -322,6 +325,9 @@ def main(argv=None) -> int:
     else:
         assert config.ckpt_resume is not None, "ckpt_resume is None"
         trainer.test(-1)
+    if getattr(config, "export_torch", None):
+        path = trainer.export_torch_checkpoint(config.export_torch)
+        print(f"exported reference-format checkpoint: {path}")
     return 0
 
 

@@ -21,17 +21,20 @@ from rot_mvgaze_tpu.parallel.distributed import (
 from rot_mvgaze_tpu.parallel.mesh import make_mesh
 
 
-def _make_corpus(tmp_path, exp="mpiinv"):
-    """Synthetic HDF5 corpus for the full subject list + data_path.yaml."""
-    root = tmp_path / exp
-    root.mkdir(parents=True)
+def _make_corpus(tmp_path, exps=("mpiinv",)):
+    """Synthetic HDF5 corpora for the full subject lists + data_path.yaml."""
     proj = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(proj, "configs", "subject", f"{exp}.yaml")) as f:
-        subjects = yaml.safe_load(f)["subject"]
-    write_synthetic_dataset(str(root), subjects, n_frames=1, image_size=32)
+    paths = {}
+    for exp in exps:
+        root = tmp_path / exp
+        root.mkdir(parents=True)
+        with open(os.path.join(proj, "configs", "subject", f"{exp}.yaml")) as f:
+            subjects = yaml.safe_load(f)["subject"]
+        write_synthetic_dataset(str(root), subjects, n_frames=1, image_size=32)
+        paths[exp] = str(root)
     dp = tmp_path / "data_path.yaml"
     with open(dp, "w") as f:
-        yaml.safe_dump({exp: str(root)}, f)
+        yaml.safe_dump(paths, f)
     return str(dp)
 
 
@@ -113,6 +116,62 @@ class TestCLIMesh:
             if f.endswith(".msgpack")
         ]
         assert len(ckpts) == 1
+
+
+class TestCLIExportTorch:
+    def test_export_torch_flag(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        data_path = _make_corpus(tmp_path)
+        export = str(tmp_path / "export.pth.tar")
+        rc = main(
+            [
+                "--mode", "train", "--exp_name", "mpiinv_known",
+                "--data_path", data_path,
+                "--output_dir", str(tmp_path / "logs"),
+                "--batch_size", "64", "--test_batch_size", "64",
+                "--image_size", "32", "--backbone_depth", "18",
+                "--num_iter", "1", "--epochs", "1", "--save_epoch", "5",
+                "--num_workers", "2", "--native_loader", "false",
+                "--export_torch", export,
+            ]
+        )
+        assert rc == 0
+        sd = torch.load(export, weights_only=True)
+        assert any(k.endswith("num_batches_tracked") for k in sd)
+        assert "_feat_extractor.0.conv1.weight" in sd
+
+
+class TestCrossDatasetNovel:
+    def test_cli_cross_dataset_novel_split(self, tmp_path):
+        """mpiinv2xgaze_novel end-to-end: trains on MPII-NV's 12 novel_train
+        cameras and evaluates on XGaze's 6 novel_test cameras — the full
+        cross-dataset camera-split wiring of /root/reference/main.py:121-209
+        under the default DP mesh."""
+        data_path = _make_corpus(tmp_path, exps=("mpiinv", "xgaze"))
+        out = tmp_path / "logs"
+        rc = main(
+            [
+                "--mode", "train", "--exp_name", "mpiinv2xgaze_novel",
+                "--data_path", data_path, "--output_dir", str(out),
+                "--batch_size", "64", "--test_batch_size", "64",
+                "--image_size", "32", "--backbone_depth", "18",
+                "--num_iter", "1", "--epochs", "1", "--save_epoch", "1",
+                "--print_freq", "10", "--num_workers", "2",
+                "--native_loader", "false",
+            ]
+        )
+        assert rc == 0
+        results = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(out)
+            for f in fs
+            if f == "test_results.txt"
+        ]
+        assert len(results) == 1
+        with open(results[0]) as f:
+            lines = f.read().strip().splitlines()
+        assert len(lines) == 2
+        assert all(np.isfinite(float(l.rsplit(" ", 1)[-1])) for l in lines)
 
 
 class TestHostShard:

@@ -128,6 +128,25 @@ class TestTrainerEndToEnd:
         b = np.asarray(trainer2.state.params["backbone"]["conv1"]["kernel"])
         np.testing.assert_array_equal(a, b)
 
+    def test_training_is_deterministic_given_seed(self, tmp_path, loaders):
+        """Two identical runs (same seed, same data) must produce identical
+        parameters — guards loader ordering, PRNG threading, and any
+        nondeterministic reduction sneaking into the step."""
+        import jax
+
+        def run():
+            train_loader, test_loader = loaders
+            cfg = _make_config(tmp_path, scheduler_step="iteration")
+            model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+            trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+            train_loader.epoch = 0  # reset shuffle epoch between runs
+            trainer.train_one_epoch(0)
+            return jax.device_get(trainer.state.params)
+
+        p1, p2 = run(), run()
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_keep_last_n_checkpoint_retention(self, tmp_path, loaders):
         train_loader, test_loader = loaders
         cfg = _make_config(tmp_path, keep_last_n=2)
