@@ -91,23 +91,25 @@ def main() -> None:
         opt_state=tx.init(variables["params"]),
     )
 
+    # fold_key_by_step: the per-step PRNG key derives from state.step inside
+    # the jit — the host passes one staged base key, no per-step dispatch
+    # (each tiny host->device op costs ~ms over the tunnel).
     train_step = jax.jit(
-        make_train_step(model, metrics, tx, image_size=size),
+        make_train_step(model, metrics, tx, image_size=size,
+                        fold_key_by_step=True),
         donate_argnums=(0,),
     )
 
     # warmup / compile
-    key = jax.random.PRNGKey(0)
+    key = jax.device_put(jax.random.PRNGKey(0))
     for i in range(3):
-        state, stats = train_step(state, device_batch, jax.random.fold_in(key, i))
+        state, stats = train_step(state, device_batch, key)
     jax.block_until_ready(state.params)
 
     n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, stats = train_step(
-            state, device_batch, jax.random.fold_in(key, 100 + i)
-        )
+        state, stats = train_step(state, device_batch, key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 

@@ -59,6 +59,7 @@ def make_train_step(
     schedule: Callable = None,
     with_images: bool = False,
     augment_dtype: Any = None,
+    fold_key_by_step: bool = False,
 ) -> Callable:
     """Returns ``(state, batch, key) -> (state, stats)``.
 
@@ -77,6 +78,13 @@ def make_train_step(
     )
 
     def train_step(state, batch: Dict[str, Any], key: jax.Array):
+        if fold_key_by_step:
+            # Derive the per-step PRNG key ON DEVICE from the step counter:
+            # the host passes the same base key every step, eliminating a
+            # per-step host->device dispatch (a tiny op that costs ~ms each
+            # over a tunneled backend). Equally deterministic: the step
+            # counter sequence is fixed.
+            key = jax.random.fold_in(key, state.step)
         imgs = augment_views(key, batch, image_size, aug_dtype)
         data = {**imgs, **prepare_rotations(batch)}
 

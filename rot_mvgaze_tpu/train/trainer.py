@@ -209,9 +209,14 @@ class Trainer:
                 image_size=self.image_size,
                 schedule=self.schedule,
                 with_images=True,
+                # per-step PRNG key derived on device from state.step — no
+                # per-step host dispatch (costly over a tunneled backend)
+                fold_key_by_step=True,
             ),
             donate_argnums=(0,),
         )
+        # staged once; reused every step (fold happens inside the jit)
+        self._base_key = jax.device_put(self.root_key)
         # Eval always runs float32 regardless of the training compute dtype:
         # params are f32 either way, and the headline metric (mean angular
         # error vs the reference checkpoints, BASELINE.md) must not absorb
@@ -307,7 +312,6 @@ class Trainer:
         print(f"Epoch: {epoch + 1} / {self.epochs}")
         assert self.train_loader is not None
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
-        step_key = jax.random.fold_in(self.root_key, epoch)
         epoch_t0 = time.perf_counter()
         n_samples = 0
         last_t = epoch_t0
@@ -315,8 +319,8 @@ class Trainer:
         for i, batch in enumerate(
             device_prefetch(iter(self.train_loader), size=2, sharding=sharding)
         ):
-            key = jax.random.fold_in(step_key, i)
-            self.state, stats = self._train_step(self.state, batch, key)
+            # key folding happens on device from state.step (see __init__)
+            self.state, stats = self._train_step(self.state, batch, self._base_key)
             n_samples += int(batch["img_0"].shape[0])
             if self.train_iter != 0 and self.train_iter % self.print_freq == 0:
                 loss = float(stats["loss_gaze"])  # device sync

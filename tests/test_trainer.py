@@ -102,12 +102,23 @@ class TestTrainerEndToEnd:
 
         import jax
 
+        from rot_mvgaze_tpu.train.steps import make_train_step
+
         batch = next(iter(train_loader))
         batch = jax.tree.map(jnp.asarray, batch)
         losses = []
-        # fixed PRNG key -> deterministic augmentation -> clean overfit signal
+        # fixed PRNG key -> deterministic augmentation -> clean overfit
+        # signal (the Trainer's own step folds the key by state.step, so
+        # build an unfolded step here)
+        step = jax.jit(
+            make_train_step(
+                model, _metrics(), trainer.tx,
+                image_size=32, schedule=trainer.schedule,
+            ),
+            donate_argnums=(0,),
+        )
         for _ in range(10):
-            trainer.state, stats = trainer._train_step(
+            trainer.state, stats = step(
                 trainer.state, batch, jax.random.PRNGKey(0)
             )
             losses.append(float(stats["loss_gaze"]))
