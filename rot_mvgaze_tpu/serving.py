@@ -16,7 +16,8 @@ provides a compiled, fixed-shape predictor:
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import threading
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -161,3 +162,102 @@ class GazePredictor:
             )
             outs.append(np.asarray(pred)[: end - start])
         return np.concatenate(outs, axis=0)
+
+
+class BatchingPredictor:
+    """Dynamic request coalescing in front of a :class:`GazePredictor`.
+
+    Concurrent callers' samples are merged into shared micro-batches by a
+    single dispatcher thread: under load the executable runs FULL batches
+    instead of one padded batch per request (the padding is wasted compute),
+    and callers block only until their own rows are ready. The reference has
+    no serving tier at all; this is the standard production pattern for a
+    fixed-shape compiled model server.
+
+    - ``max_delay_ms``: how long the dispatcher waits to fill a batch before
+      flushing a partial one (latency bound under low load).
+    - Thread-safe; any number of caller threads.
+    """
+
+    def __init__(self, predictor: GazePredictor, max_delay_ms: float = 2.0):
+        self.predictor = predictor
+        self.max_delay = max_delay_ms / 1e3
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._queue: List[Tuple[dict, "threading.Event", dict, int]] = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def predict(
+        self,
+        img_0: np.ndarray,
+        img_1: np.ndarray,
+        head_pose_0: np.ndarray,
+        head_pose_1: np.ndarray,
+    ) -> np.ndarray:
+        n = int(img_0.shape[0])
+        if n == 0:
+            return np.zeros((0, 2), np.float32)
+        req = {
+            "img_0": np.asarray(img_0),
+            "img_1": np.asarray(img_1),
+            "head_pose_0": np.asarray(head_pose_0, np.float32),
+            "head_pose_1": np.asarray(head_pose_1, np.float32),
+        }
+        done = threading.Event()
+        out: dict = {}
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("BatchingPredictor is closed")
+            self._queue.append((req, done, out, n))
+            self._cv.notify()
+        done.wait()
+        if "error" in out:
+            raise out["error"]
+        return out["pred"]
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        mb = self.predictor.micro_batch
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                # collect until a full micro-batch is queued or the delay
+                # budget is spent
+                import time as _time
+
+                deadline = _time.monotonic() + self.max_delay
+                while (
+                    sum(r[3] for r in self._queue) < mb and not self._closed
+                ):
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch, self._queue = self._queue, []
+            try:
+                pred = self.predictor.predict(
+                    np.concatenate([r[0]["img_0"] for r in batch]),
+                    np.concatenate([r[0]["img_1"] for r in batch]),
+                    np.concatenate([r[0]["head_pose_0"] for r in batch]),
+                    np.concatenate([r[0]["head_pose_1"] for r in batch]),
+                )
+                start = 0
+                for _, done, out, n in batch:
+                    out["pred"] = pred[start : start + n]
+                    start += n
+                    done.set()
+            except Exception as e:  # propagate to every waiting caller
+                for _, done, out, _ in batch:
+                    out["error"] = e
+                    done.set()

@@ -38,10 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_handler(predictor, stats):
-    # ThreadingHTTPServer handles requests concurrently: the lock guards the
-    # read-modify-write stats updates AND serializes predictor.predict calls
-    # (one compiled executable; serializing bounds device memory and gives
-    # honest per-request latency instead of queueing inside XLA).
+    # ThreadingHTTPServer handles requests concurrently: predictor is a
+    # BatchingPredictor (thread-safe — concurrent requests coalesce into
+    # shared micro-batches on one dispatcher thread); the lock guards the
+    # read-modify-write stats updates.
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -80,15 +80,15 @@ def build_handler(predictor, stats):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 data = np.load(io.BytesIO(self.rfile.read(length)))
+                t0 = time.perf_counter()
+                pred = predictor.predict(
+                    data["img_0"],
+                    data["img_1"],
+                    data["head_pose_0"],
+                    data["head_pose_1"],
+                )
+                dt = time.perf_counter() - t0
                 with lock:
-                    t0 = time.perf_counter()
-                    pred = predictor.predict(
-                        data["img_0"],
-                        data["img_1"],
-                        data["head_pose_0"],
-                        data["head_pose_1"],
-                    )
-                    dt = time.perf_counter() - t0
                     stats["requests"] += 1
                     stats["samples"] += int(pred.shape[0])
                     stats["time"] += dt
@@ -119,6 +119,9 @@ def main() -> int:
     p.add_argument("--dp", action="store_true",
                    help="shard each micro-batch over ALL visible chips "
                         "(data-parallel serving; params replicated)")
+    p.add_argument("--coalesce_ms", type=float, default=2.0,
+                   help="dynamic batching: max wait to fill a shared "
+                        "micro-batch from concurrent requests")
     args = p.parse_args()
 
     import jax
@@ -150,6 +153,9 @@ def main() -> int:
         np.zeros((1, 2), np.float32),
         np.zeros((1, 2), np.float32),
     )
+    from rot_mvgaze_tpu.serving import BatchingPredictor
+
+    predictor = BatchingPredictor(predictor, max_delay_ms=args.coalesce_ms)
     stats = {"requests": 0, "samples": 0, "time": 0.0}
     server = ThreadingHTTPServer(("0.0.0.0", args.port), build_handler(predictor, stats))
     print(f"serving on :{args.port} (micro_batch={args.micro_batch})", flush=True)

@@ -117,6 +117,99 @@ class TestGazePredictor:
         assert out.shape == (2, 2) and np.all(np.isfinite(out))
 
 
+class TestBatchingPredictor:
+    def test_concurrent_requests_coalesce_and_match(self, ckpt_path):
+        """Concurrent callers through the dynamic batcher get exactly what a
+        direct predict would return, row for row."""
+        import threading
+
+        from rot_mvgaze_tpu.serving import BatchingPredictor
+
+        inner = GazePredictor(
+            ckpt_path, backbone_depth=18, num_iter=1, micro_batch=8,
+            image_size=32, dtype=jnp.float32,
+        )
+        batcher = BatchingPredictor(inner, max_delay_ms=20.0)
+        rng = np.random.default_rng(2)
+        reqs = []
+        for n in (3, 2, 5, 1, 4):
+            reqs.append(
+                (
+                    rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8),
+                    rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8),
+                    rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32),
+                    rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32),
+                )
+            )
+        results = [None] * len(reqs)
+
+        def call(i):
+            results[i] = batcher.predict(*reqs[i])
+
+        threads = [
+            threading.Thread(target=call, args=(i,)) for i in range(len(reqs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i, req in enumerate(reqs):
+            want = inner.predict(*req)
+            np.testing.assert_allclose(results[i], want, atol=1e-5, err_msg=i)
+        batcher.close()
+
+    def test_empty_request_and_close(self, ckpt_path):
+        from rot_mvgaze_tpu.serving import BatchingPredictor
+
+        inner = GazePredictor(
+            ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+            image_size=32, dtype=jnp.float32,
+        )
+        batcher = BatchingPredictor(inner)
+        assert batcher.predict(
+            np.zeros((0, 32, 32, 3), np.uint8),
+            np.zeros((0, 32, 32, 3), np.uint8),
+            np.zeros((0, 2), np.float32),
+            np.zeros((0, 2), np.float32),
+        ).shape == (0, 2)
+        batcher.close()
+        with pytest.raises(RuntimeError):
+            batcher.predict(
+                np.zeros((1, 32, 32, 3), np.uint8),
+                np.zeros((1, 32, 32, 3), np.uint8),
+                np.zeros((1, 2), np.float32),
+                np.zeros((1, 2), np.float32),
+            )
+
+    def test_error_propagates_to_caller(self, ckpt_path):
+        from rot_mvgaze_tpu.serving import BatchingPredictor
+
+        inner = GazePredictor(
+            ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+            image_size=32, dtype=jnp.float32,
+        )
+        batcher = BatchingPredictor(inner)
+        with pytest.raises(Exception):
+            # rank-3 images (missing channel axis) -> the forward rejects
+            # them; the error must surface in the CALLING thread, not kill
+            # the dispatcher
+            batcher.predict(
+                np.zeros((2, 32, 32), np.uint8),
+                np.zeros((2, 32, 32), np.uint8),
+                np.zeros((2, 2), np.float32),
+                np.zeros((2, 2), np.float32),
+            )
+        # dispatcher survives and still serves good requests
+        out = batcher.predict(
+            np.zeros((1, 32, 32, 3), np.uint8),
+            np.zeros((1, 32, 32, 3), np.uint8),
+            np.zeros((1, 2), np.float32),
+            np.zeros((1, 2), np.float32),
+        )
+        assert out.shape == (1, 2)
+        batcher.close()
+
+
 class TestProfilingUtils:
     def test_step_timer(self):
         t = StepTimer(items_per_step=10)
