@@ -250,16 +250,20 @@ def build_experiment(config: SimpleNamespace):
                     camera_tag=test_dataset.camera_tag,
                     seed=config.seed,
                 )
-                train_loader = NativeBatchLoader(
+                # assign BOTH only after both construct: a failure on either
+                # side must fall back to the h5py loaders as a pair
+                nat_train_loader = NativeBatchLoader(
                     nat_train, local_bs, shuffle=True,
                     seed=config.seed, drop_last=True,
                     process_shard=process_shard,
                 )
-                test_loader = NativeBatchLoader(
+                nat_test_loader = NativeBatchLoader(
                     nat_test, local_test_bs, process_shard=process_shard
                 )
+                train_loader, test_loader = nat_train_loader, nat_test_loader
                 print("using native packed-cache loader")
         except Exception as e:  # fall back to the h5py thread loader
+            train_loader = test_loader = None
             print(f"native loader unavailable ({e}); using h5py loader")
     if train_loader is None:
         train_loader = BatchLoader(

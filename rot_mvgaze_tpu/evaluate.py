@@ -43,6 +43,8 @@ def evaluate_gaze(
         out = model.apply(variables, data, train=False)
         return out["pred_gaze"]
 
+    from rot_mvgaze_tpu.utils.padding import pad_batch
+
     preds, gts = [], []
     # Pad every batch to the first-seen (full) batch size so the jitted step
     # compiles exactly once — a ragged final batch would otherwise trigger a
@@ -58,11 +60,7 @@ def evaluate_gaze(
         bs = device_batch["img_0"].shape[0]
         if full_bs is None:
             full_bs = bs
-        if bs < full_bs:
-            device_batch = {
-                k: np.concatenate([v, np.repeat(v[-1:], full_bs - bs, axis=0)])
-                for k, v in device_batch.items()
-            }
+        device_batch = pad_batch(device_batch, full_bs)
         preds.append(np.asarray(step(device_batch))[:bs])
         gts.append(np.asarray(batch["gt_gaze"]))
     pred_all = np.concatenate(preds)

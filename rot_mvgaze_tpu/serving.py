@@ -140,15 +140,12 @@ class GazePredictor:
         outs = []
         for start in range(0, n, mb):
             end = min(start + mb, n)
-            pad = mb - (end - start)
             sl = slice(start, end)
 
-            def prep(x, pad_val=0):
-                x = np.asarray(x[sl])
-                if pad:
-                    x = np.concatenate(
-                        [x, np.repeat(x[-1:], pad, axis=0)], axis=0
-                    )
+            def prep(x):
+                from rot_mvgaze_tpu.utils.padding import pad_rows
+
+                x = pad_rows(np.asarray(x[sl]), mb)
                 if self._batch_sharding is not None:
                     x = jax.device_put(x, self._batch_sharding)
                 return x

@@ -353,12 +353,18 @@ class Trainer:
         """Host copy of a (possibly globally-sharded) device array.
 
         Multi-host: a batch-sharded global array is not fully addressable, so
-        return THIS host's rows — its addressable shards concatenated in
-        global-offset order (matching the order its local batch was fed)."""
-        if jax.process_count() == 1:
+        return THIS host's rows — its addressable shards, deduplicated by
+        global index (XLA may replicate small outputs across local devices)
+        and concatenated in global-offset order (matching the order the
+        local batch was fed)."""
+        if jax.process_count() == 1 or arr.is_fully_replicated:
             return np.asarray(arr)
+        by_index = {}
+        for s in arr.addressable_shards:
+            by_index.setdefault(s.index, s)
         shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+            by_index.values(),
+            key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
         )
         return np.concatenate([np.asarray(s.data) for s in shards])
 
@@ -377,29 +383,23 @@ class Trainer:
         gt_all = np.zeros((n_test, 2))
         save_index = 0
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
-        # Each host pads its LOCAL batch to a multiple of its local device
-        # count; the assembled global batch is then mesh-divisible.
+        # Pad every batch to ONE fixed shape: the first-seen batch size
+        # rounded up to the local device count. A ragged final batch would
+        # otherwise both fail to shard over the mesh AND compile a second
+        # eval executable (multi-minute on a tunneled TPU).
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         n_dev_local = max(n_dev // jax.process_count(), 1)
-
-        def pad_for_mesh(batch):
-            # A ragged final batch cannot shard over the mesh; pad with
-            # repeats of the last sample and trim predictions afterwards.
-            bs = int(batch["img_0"].shape[0])
-            pad = (-bs) % n_dev_local
-            if pad == 0:
-                return batch, bs
-            batch = {
-                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                if getattr(v, "ndim", 0) > 0
-                else v
-                for k, v in batch.items()
-            }
-            return batch, bs
+        from rot_mvgaze_tpu.utils.padding import pad_batch
 
         def batches():
+            target = None
             for b in iter(self.test_loader):
-                yield pad_for_mesh(b)
+                bs = int(b["img_0"].shape[0])
+                if target is None:
+                    target = bs + ((-bs) % n_dev_local)
+                # an oversized batch (nonstandard loader) still pads to a
+                # device multiple; only then would a second shape compile
+                yield pad_batch(b, max(target, bs + ((-bs) % n_dev_local))), bs
 
         from rot_mvgaze_tpu.parallel.mesh import put_sharded
 

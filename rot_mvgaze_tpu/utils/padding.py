@@ -1,0 +1,31 @@
+"""Row padding for static-shape executables.
+
+Jitted steps compile per input shape, so ragged final batches must be padded
+up to a fixed row count (repeating the last row; padded predictions are
+trimmed by the caller). One implementation shared by Trainer.test,
+evaluate.evaluate_gaze, and serving.GazePredictor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def pad_rows(x: np.ndarray, target: int) -> np.ndarray:
+    """Pad a (N, ...) array to ``target`` rows by repeating the last row."""
+    x = np.asarray(x)
+    pad = target - x.shape[0]
+    if pad <= 0:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
+def pad_batch(batch: Dict[str, Any], target: int) -> Dict[str, Any]:
+    """Pad every array-valued entry of a batch dict to ``target`` rows
+    (non-arrays and scalars pass through)."""
+    return {
+        k: pad_rows(v, target) if getattr(v, "ndim", 0) > 0 else v
+        for k, v in batch.items()
+    }

@@ -109,18 +109,6 @@ def main() -> int:
 
         return step
 
-    def timeit(fn, *fargs, donate=None):
-        out = None
-        for i in range(3):
-            out = fn(*fargs) if out is None or donate is None else fn(out, *fargs[1:])
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        o = out
-        for i in range(args.steps):
-            o = fn(*fargs) if donate is None else fn(o, *fargs[1:])
-        jax.block_until_ready(o)
-        return (time.perf_counter() - t0) / args.steps
-
     results = {}
     key = jax.random.PRNGKey(0)
 
@@ -172,11 +160,8 @@ def main() -> int:
                     keys = jax.random.split(kk, batch)
                     o[view] = jax.vmap(
                         lambda q, im: A._train_preprocess_one(
-                            q, im.astype(jnp.bfloat16) / 255.0, size,
-                            pre_scaled=True,
+                            q, im, size, jnp.bfloat16
                         )
-                        if hasattr(A, "_PRE")
-                        else A._train_preprocess_one(q, im, size)
                     )(keys, b[view])
                 return o
 

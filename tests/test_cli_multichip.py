@@ -118,6 +118,43 @@ class TestCLIMesh:
         assert len(ckpts) == 1
 
 
+class TestNativeFallbackPairing:
+    def test_partial_native_failure_falls_back_as_a_pair(self, tmp_path, monkeypatch):
+        """If the native TEST loader fails after the native TRAIN loader was
+        built, BOTH must fall back to the h5py loaders (regression: the
+        fallback used to be gated on train_loader only, leaving test_loader
+        None and crashing the pre-training eval)."""
+        import rot_mvgaze_tpu.data.native as native_mod
+        from rot_mvgaze_tpu.data import BatchLoader
+
+        data_path = _make_corpus(tmp_path)
+        calls = {"n": 0}
+        real = native_mod.PackedGazeDataset
+
+        class FlakyPacked(real):
+            def __init__(self, *a, **kw):
+                calls["n"] += 1
+                if calls["n"] == 2:  # the TEST dataset
+                    raise RuntimeError("simulated pack failure")
+                super().__init__(*a, **kw)
+
+        monkeypatch.setattr(native_mod, "PackedGazeDataset", FlakyPacked)
+        args = get_parser().parse_args(
+            [
+                "--mode", "train", "--exp_name", "mpiinv_known",
+                "--data_path", data_path,
+                "--output_dir", str(tmp_path / "logs"),
+                "--batch_size", "16", "--image_size", "32",
+                "--backbone_depth", "18", "--num_iter", "1",
+                "--num_workers", "2", "--dp", "false",
+            ]
+        )
+        trainer = build_experiment(args)
+        assert isinstance(trainer.train_loader, BatchLoader)
+        assert isinstance(trainer.test_loader, BatchLoader)
+        assert trainer.test_loader is not None
+
+
 class TestCLIExportTorch:
     def test_export_torch_flag(self, tmp_path):
         torch = pytest.importorskip("torch")
