@@ -284,6 +284,41 @@ class TestProcessShardedLoaders:
         assert sum(len(s) for s in seen) == (n // p) * p
 
 
+class TestBenchSmoke:
+    def test_bench_runs_dp_on_cpu_mesh(self, tmp_path):
+        """bench.py (the driver's interface) must emit its one JSON line; on
+        a multi-device backend it data-parallels the step over a mesh and
+        reports per-chip + total throughput."""
+        import json
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+            BENCH_BATCH="2", BENCH_SIZE="32", BENCH_DEPTH="18",
+            BENCH_ITERS="1", JAX_CACHE_DIR=env.get(
+                "JAX_TEST_CACHE", "/tmp/jax_test_cache"
+            ),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=480,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        assert rec["metric"] == "rotmv_r50_train_step_throughput"
+        assert rec["value"] > 0 and np.isfinite(rec["value"])
+        assert rec["n_chips"] == 8
+        # both fields are independently rounded to 0.1
+        assert rec["total_imgs_per_sec"] == pytest.approx(
+            rec["value"] * 8, rel=0.05
+        )
+
+
 class TestOrbaxUnderMesh:
     def test_orbax_roundtrip_restores_onto_mesh(self, tmp_path):
         """Orbax save of a mesh-replicated TrainState restores directly onto
