@@ -96,6 +96,10 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint) for larger per-chip batches")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N sequential micro-batches "
+                        "before each optimizer update (effective batch = "
+                        "batch_size, activation memory = one micro-batch)")
     p.add_argument("--fuse_views", type=str2bool, default=False,
                    help="run both views through the backbone as one batch "
                         "during TRAINING too (merges BN batch stats across "
@@ -200,19 +204,30 @@ def build_experiment(config: SimpleNamespace):
 
     mesh = None
     n_procs = jax.process_count()
+    ga = max(int(getattr(config, "grad_accum", 1) or 1), 1)
     if getattr(config, "dp", True) and jax.device_count() > 1:
         mesh = distributed.global_mesh()
         n_dev = mesh.devices.size
-        for attr in ("batch_size", "test_batch_size"):
+        # batch must divide over the mesh; with gradient accumulation each
+        # of the A micro-batches must too -> multiple of n_dev * A
+        for attr, div in (
+            ("batch_size", n_dev * ga),
+            ("test_batch_size", n_dev),
+        ):
             bs = getattr(config, attr)
-            if bs % n_dev:
-                rounded = max(bs // n_dev, 1) * n_dev
-                print(f"{attr} {bs} -> {rounded} (multiple of {n_dev} devices)")
+            if bs % div:
+                rounded = max(bs // div, 1) * div
+                print(f"{attr} {bs} -> {rounded} (multiple of {div})")
                 setattr(config, attr, rounded)
         print(
             f"data-parallel mesh: {n_dev} devices across {n_procs} host(s); "
             f"global batch {config.batch_size}"
         )
+    elif ga > 1 and config.batch_size % ga:
+        rounded = max(config.batch_size // ga, 1) * ga
+        print(f"batch_size {config.batch_size} -> {rounded} "
+              f"(multiple of grad_accum={ga})")
+        config.batch_size = rounded
     # Per-host slice of the global batch; loaders read only this host's shard.
     process_shard = (jax.process_index(), n_procs) if n_procs > 1 else None
     local_bs = config.batch_size // n_procs

@@ -60,11 +60,21 @@ def make_train_step(
     with_images: bool = False,
     augment_dtype: Any = None,
     fold_key_by_step: bool = False,
+    augment: bool = True,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns ``(state, batch, key) -> (state, stats)``.
 
     ``state`` is any pytree with .step/.params/.batch_stats/.opt_state
     (rot_mvgaze_tpu.train.trainer.TrainState).
+
+    ``augment=False`` expects pre-augmented float views (skips the on-device
+    stack). ``grad_accum=N`` splits the batch into N sequential micro-batches
+    whose gradients are AVERAGED before one optimizer update — the standard
+    way to train effective batches larger than HBM allows (each micro-batch
+    normalizes with its own statistics, like torch gradient accumulation;
+    running BN stats update once per micro-batch). Peak activation memory is
+    that of one micro-batch.
     """
     from rot_mvgaze_tpu.train.trainer import TrainState
 
@@ -77,20 +87,17 @@ def make_train_step(
         else getattr(model, "dtype", jnp.float32)
     )
 
-    def train_step(state, batch: Dict[str, Any], key: jax.Array):
-        if fold_key_by_step:
-            # Derive the per-step PRNG key ON DEVICE from the step counter:
-            # the host passes the same base key every step, eliminating a
-            # per-step host->device dispatch (a tiny op that costs ~ms each
-            # over a tunneled backend). Equally deterministic: the step
-            # counter sequence is fixed.
-            key = jax.random.fold_in(key, state.step)
-        imgs = augment_views(key, batch, image_size, aug_dtype)
-        data = {**imgs, **prepare_rotations(batch)}
+    def prepare(key, batch):
+        if augment:
+            imgs = augment_views(key, batch, image_size, aug_dtype)
+        else:
+            imgs = {"img_0": batch["img_0"], "img_1": batch["img_1"]}
+        return {**imgs, **prepare_rotations(batch)}
 
+    def loss_and_grads(params, batch_stats, data):
         def loss_fn(params):
             out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 data,
                 train=True,
                 mutable=["batch_stats"],
@@ -99,7 +106,60 @@ def make_train_step(
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(params)
+        error = jnp.mean(angular_error_jnp(out["pred_gaze"], data["gt_gaze"]))
+        return loss, error, grads, new_stats
+
+    def train_step(state, batch: Dict[str, Any], key: jax.Array):
+        if fold_key_by_step:
+            # Derive the per-step PRNG key ON DEVICE from the step counter:
+            # the host passes the same base key every step, eliminating a
+            # per-step host->device dispatch (a tiny op that costs ~ms each
+            # over a tunneled backend). Equally deterministic: the step
+            # counter sequence is fixed.
+            key = jax.random.fold_in(key, state.step)
+
+        if grad_accum == 1:
+            data = prepare(key, batch)
+            loss, error, grads, new_stats = loss_and_grads(
+                state.params, state.batch_stats, data
+            )
+        else:
+            # [B, ...] -> [A, B/A, ...] with INTERLEAVED rows (micro a takes
+            # rows a::A): under a batch-sharded mesh every micro-batch then
+            # keeps an even slice of every device's block, so the scan body
+            # stays data-parallel without resharding. Scanned sequentially
+            # (fresh PRNG key each), gradients averaged.
+            def split(x):
+                return x.reshape(
+                    x.shape[0] // grad_accum, grad_accum, *x.shape[1:]
+                ).swapaxes(0, 1)
+
+            micro = jax.tree.map(split, batch)
+
+            def body(carry, inp):
+                stats_c, gacc, lacc, eacc = carry
+                mb, i = inp
+                data = prepare(jax.random.fold_in(key, i), mb)
+                loss, error, grads, stats_c = loss_and_grads(
+                    state.params, stats_c, data
+                )
+                gacc = jax.tree.map(jnp.add, gacc, grads)
+                return (stats_c, gacc, lacc + loss, eacc + error), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, gsum, lsum, esum), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zeros, jnp.zeros(()), jnp.zeros(())),
+                (micro, jnp.arange(grad_accum)),
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+            loss, error = lsum / grad_accum, esum / grad_accum
+            # for the logging images below, recreate the first micro-batch
+            data = prepare(
+                jax.random.fold_in(key, 0), jax.tree.map(lambda x: x[0], micro)
+            ) if with_images else None
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -108,12 +168,7 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt_state,
         )
-        stats = {
-            "loss_gaze": loss,
-            "error_gaze": jnp.mean(
-                angular_error_jnp(out["pred_gaze"], data["gt_gaze"])
-            ),
-        }
+        stats = {"loss_gaze": loss, "error_gaze": error}
         if schedule is not None:
             stats["lr"] = schedule(state.step)
         if with_images:

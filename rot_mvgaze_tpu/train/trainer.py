@@ -212,6 +212,7 @@ class Trainer:
                 # per-step PRNG key derived on device from state.step — no
                 # per-step host dispatch (costly over a tunneled backend)
                 fold_key_by_step=True,
+                grad_accum=int(getattr(config, "grad_accum", 1) or 1),
             ),
             donate_argnums=(0,),
         )
