@@ -305,7 +305,7 @@ class TestBenchSmoke:
         )
         out = subprocess.run(
             [sys.executable, os.path.join(repo, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=480,
+            env=env, capture_output=True, text=True, timeout=900,
         )
         assert out.returncode == 0, out.stderr[-3000:]
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
