@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rot_mvgaze_tpu.data import BatchLoader, GazeDataset
 from rot_mvgaze_tpu.data.synthetic import write_synthetic_h5
@@ -54,6 +55,42 @@ class TestEvaluateGaze:
         vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
         err = evaluate_gaze(m, vs, loader, image_size=32, single_view=True)
         assert np.isfinite(err) and 0 < err < 180
+
+    def test_two_view_eval_protocol(self, tmp_path):
+        """evaluate_gaze over the stereo FeatRotationSymm matches the
+        Trainer.test metric on the same data + params."""
+        from types import SimpleNamespace
+
+        from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
+        from rot_mvgaze_tpu.models import FeatRotationSymm
+        from rot_mvgaze_tpu.train import Trainer
+
+        write_synthetic_dataset(str(tmp_path), ["s.h5"], n_frames=2,
+                                image_size=32)
+        ds = GazeDataset("xgaze", str(tmp_path), "bgr", ["s.h5"], seed=0)
+        loader = BatchLoader(ds, batch_size=12)
+        m = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        data = {
+            "img_0": jnp.zeros((1, 32, 32, 3)),
+            "img_1": jnp.zeros((1, 32, 32, 3)),
+            "rot_0": jnp.eye(3)[None],
+            "rot_1": jnp.eye(3)[None],
+        }
+        vs = m.init(jax.random.PRNGKey(0), data)
+        err = evaluate_gaze(m, vs, loader, image_size=32)
+        assert np.isfinite(err) and 0 < err < 180
+
+        cfg = SimpleNamespace(
+            mode="test", exp_name="ev", output_dir=str(tmp_path / "logs"),
+            ckpt_resume=None, print_freq=100, seed=0, batch_size=12,
+            test_batch_size=12, epochs=1, save_epoch=10, image_size=32,
+            scheduler_step="iteration",
+        )
+        trainer = Trainer(
+            cfg, m, lambda out: jnp.zeros(()), None, loader,
+            init_variables={k: jax.device_get(v) for k, v in vs.items()},
+        )
+        assert err == pytest.approx(trainer.test(-1), abs=1e-6)
 
     def test_ragged_final_batch_compiles_once(self, tmp_path):
         """evaluate_gaze must pad the ragged final batch to the full batch
