@@ -17,7 +17,8 @@ provides a compiled, fixed-shape predictor:
 from __future__ import annotations
 
 import threading
-from typing import Any, Dict, List, Optional, Tuple
+import time
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -202,6 +203,18 @@ class BatchingPredictor:
             "head_pose_0": np.asarray(head_pose_0, np.float32),
             "head_pose_1": np.asarray(head_pose_1, np.float32),
         }
+        # Validate BEFORE enqueueing: one malformed request must fail in its
+        # own calling thread, never poison a coalesced batch of strangers.
+        for k in ("img_0", "img_1"):
+            if req[k].ndim != 4 or req[k].shape[-1] != 3:
+                raise ValueError(
+                    f"{k} must be (N, H, W, 3) uint8, got {req[k].shape}"
+                )
+            if req[k].shape[0] != n:
+                raise ValueError("all fields must share the batch dimension")
+        for k in ("head_pose_0", "head_pose_1"):
+            if req[k].shape != (n, 2):
+                raise ValueError(f"{k} must be (N, 2), got {req[k].shape}")
         done = threading.Event()
         out: dict = {}
         with self._cv:
@@ -231,17 +244,21 @@ class BatchingPredictor:
                     return
                 # collect until a full micro-batch is queued or the delay
                 # budget is spent
-                import time as _time
-
-                deadline = _time.monotonic() + self.max_delay
+                deadline = time.monotonic() + self.max_delay
                 while (
                     sum(r[3] for r in self._queue) < mb and not self._closed
                 ):
-                    remaining = deadline - _time.monotonic()
+                    remaining = deadline - time.monotonic()
                     if remaining <= 0:
                         break
                     self._cv.wait(timeout=remaining)
-                batch, self._queue = self._queue, []
+                # coalesce only shape-compatible requests (same H, W): the
+                # rest stay queued for the next dispatch round
+                shape = self._queue[0][0]["img_0"].shape[1:]
+                batch = [r for r in self._queue if r[0]["img_0"].shape[1:] == shape]
+                self._queue = [
+                    r for r in self._queue if r[0]["img_0"].shape[1:] != shape
+                ]
             try:
                 pred = self.predictor.predict(
                     np.concatenate([r[0]["img_0"] for r in batch]),

@@ -155,9 +155,11 @@ def make_train_step(
             )
             grads = jax.tree.map(lambda g: g / grad_accum, gsum)
             loss, error = lsum / grad_accum, esum / grad_accum
-            # for the logging images below, recreate the first micro-batch
+            # logging previews: re-augment only the 8 logged rows of the
+            # first micro-batch, not the whole micro-batch
             data = prepare(
-                jax.random.fold_in(key, 0), jax.tree.map(lambda x: x[0], micro)
+                jax.random.fold_in(key, 0),
+                jax.tree.map(lambda x: x[0][:8], micro),
             ) if with_images else None
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)

@@ -201,6 +201,21 @@ class Trainer:
         # ---- jitted steps ----
         from rot_mvgaze_tpu.train.steps import make_eval_step, make_train_step
 
+        grad_accum = int(getattr(config, "grad_accum", 1) or 1)
+        if grad_accum > 1 and train_loader is not None:
+            # fail fast: a ragged batch would hit the micro-split reshape at
+            # trace time at the END of the first epoch
+            lb = int(getattr(train_loader, "batch_size", batch_size))
+            if lb % grad_accum:
+                raise ValueError(
+                    f"batch_size {lb} not divisible by grad_accum {grad_accum}"
+                )
+            if not getattr(train_loader, "drop_last", False):
+                raise ValueError(
+                    "grad_accum > 1 requires a drop_last train loader "
+                    "(a ragged final batch cannot split into micro-batches)"
+                )
+
         self._train_step = jax.jit(
             make_train_step(
                 self.model,
@@ -212,7 +227,7 @@ class Trainer:
                 # per-step PRNG key derived on device from state.step — no
                 # per-step host dispatch (costly over a tunneled backend)
                 fold_key_by_step=True,
-                grad_accum=int(getattr(config, "grad_accum", 1) or 1),
+                grad_accum=grad_accum,
             ),
             donate_argnums=(0,),
         )
@@ -358,8 +373,17 @@ class Trainer:
         global index (XLA may replicate small outputs across local devices)
         and concatenated in global-offset order (matching the order the
         local batch was fed)."""
-        if jax.process_count() == 1 or arr.is_fully_replicated:
+        if jax.process_count() == 1:
             return np.asarray(arr)
+        if arr.is_fully_replicated:
+            # replicated output of a batch-sharded computation: THIS host's
+            # rows are its process-ordered block of the global batch
+            # (make_array_from_process_local_data layout) — returning the
+            # full array would make every host record host 0's rows.
+            g = np.asarray(arr)
+            per = g.shape[0] // jax.process_count()
+            i = jax.process_index()
+            return g[i * per : (i + 1) * per]
         by_index = {}
         for s in arr.addressable_shards:
             by_index.setdefault(s.index, s)

@@ -83,8 +83,11 @@ def validate(root: str, dataset: str, strict: bool = False) -> int:
                         f"{name}: {n} rows is not a multiple of 18 — the "
                         "frame-major 18-camera pair index cannot be built"
                     )
-                g = np.asarray(gaze[: min(n, 512)])
-                p = np.asarray(pose[: min(n, 512)])
+                # full label scan — labels are (N, 2) floats, cheap even for
+                # huge corpora; the one thing this tool must never do is
+                # pass a corpus whose row 10000 is NaN
+                g = np.asarray(gaze)
+                p = np.asarray(pose)
                 for lbl, arr in (("face_gaze", g), ("face_head_pose", p)):
                     if not np.isfinite(arr).all():
                         errors.append(f"{name}: non-finite values in {lbl}")
