@@ -362,6 +362,34 @@ class TestOrbaxUnderMesh:
         assert leaf_r.sharding.mesh.devices.size == 8
 
 
+class TestToLocalNumpy:
+    def test_replicated_output_returns_this_hosts_block(self):
+        """A replicated output of a batch-sharded computation must yield THIS
+        host's process-ordered block, not the global rows (regression: every
+        host used to record host 0's predictions into the metric)."""
+        from unittest import mock
+
+        from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
+        from rot_mvgaze_tpu.train.trainer import Trainer
+
+        mesh = make_mesh()
+        g = np.arange(16, dtype=np.float32).reshape(8, 2)
+        arr = jax.device_put(g, replicated_sharding(mesh))
+        assert arr.is_fully_replicated
+        with mock.patch.object(jax, "process_count", return_value=2):
+            with mock.patch.object(jax, "process_index", return_value=1):
+                out = Trainer._to_local_numpy(arr)
+        np.testing.assert_array_equal(out, g[4:8])
+
+    def test_single_process_passthrough(self):
+        from rot_mvgaze_tpu.train.trainer import Trainer
+
+        g = np.arange(6, dtype=np.float32).reshape(3, 2)
+        np.testing.assert_array_equal(
+            Trainer._to_local_numpy(jax.device_put(g)), g
+        )
+
+
 class TestLocalBatchToGlobal:
     def test_feeds_one_train_step(self):
         """make_array_from_process_local_data path drives a full DP train
