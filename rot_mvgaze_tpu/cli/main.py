@@ -68,7 +68,10 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--save_epoch", type=int, default=10)
     # --- extensions over the reference CLI ---
-    p.add_argument("--backbone_depth", type=int, default=50, choices=[18, 50])
+    # the reference supports only 18/50 (/root/reference/models/rot_mv.py:
+    # 119-122); the full vendored family is usable here
+    p.add_argument("--backbone_depth", type=int, default=50,
+                   choices=[18, 34, 50, 101, 152])
     p.add_argument("--num_iter", type=int, default=3)
     p.add_argument("--share_weights", type=str2bool, default=False)
     p.add_argument("--encode_rotmat", type=str2bool, default=False)

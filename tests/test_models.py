@@ -194,3 +194,27 @@ class TestRemat:
         g2 = jax.grad(lambda p: loss(m_remat, p))(vs["params"])
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestExtendedBackboneFamily:
+    """Depths beyond the reference's 18/50 (its constructor raises for any
+    other, /root/reference/models/rot_mv.py:119-123) — usable here because
+    the backbone table, converter entries, and feature dims are
+    depth-general."""
+
+    @pytest.mark.parametrize("depth,feat", [(34, 512), (101, 2048)])
+    def test_forward_and_roundtrip(self, depth, feat):
+        from rot_mvgaze_tpu.compat import flax_to_torch_state_dict
+
+        m = FeatRotationSymm(backbone_depth=depth, num_iter=1)
+        data = _data()
+        vs = m.init(jax.random.PRNGKey(0), data)
+        out = m.apply(vs, data)
+        assert out["pred_gaze"].shape == (2, 2)
+        assert out["img_feat_0"].shape == (2, feat)
+        # converter coverage: every flax param/stat maps to a torch key
+        sd = flax_to_torch_state_dict(
+            {k: jax.device_get(v) for k, v in vs.items()},
+            backbone_depth=depth, num_iter=1,
+        )
+        assert any(k.startswith("_feat_extractor.0.layer4") for k in sd)
