@@ -47,6 +47,37 @@ MODEL_URLS = {
 }
 
 
+class QuantConv(nn.Module):
+    """``nn.Conv`` twin (identical ``{kernel}`` param tree) whose forward
+    runs the int8 MXU path (rot_mvgaze_tpu/ops/quant.py): per-channel weight
+    scales + dynamic per-tensor activation scale, int32 accumulation,
+    dequantized into ``dtype``. Any float checkpoint serves both paths."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    groups: int = 1
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from rot_mvgaze_tpu.ops.quant import int8_conv
+
+        k = self.kernel_size
+        in_ch = x.shape[-1] // self.groups
+        kernel = self.param(
+            "kernel", conv_kaiming_init,
+            (k, k, in_ch, self.features), self.param_dtype,
+        )
+        pad = k // 2
+        return int8_conv(
+            x, kernel, (self.strides, self.strides),
+            [(pad, pad), (pad, pad)],
+            feature_group_count=self.groups, out_dtype=self.dtype,
+        )
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm, with optionally fused residual-add and
     ReLU — the ResNet primitive.
@@ -66,6 +97,7 @@ class ConvBN(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
+    int8: bool = False
     conv_name: str = "conv"
     bn_name: str = "bn"
     bn_scale_init: Callable = nn.initializers.ones
@@ -78,18 +110,29 @@ class ConvBN(nn.Module):
         residual: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         pad = self.kernel_size // 2
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            kernel_init=conv_kaiming_init,
-            name=self.conv_name,
-        )(x)
+        if self.int8 and not train:
+            x = QuantConv(
+                self.features,
+                kernel_size=self.kernel_size,
+                strides=self.strides,
+                groups=self.groups,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=self.conv_name,
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=conv_kaiming_init,
+                name=self.conv_name,
+            )(x)
         if self.use_pallas_bn:
             from rot_mvgaze_tpu.models.norm import PallasBatchNormAct
 
@@ -134,6 +177,7 @@ class BasicBlock(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
+    int8: bool = False
     expansion: int = 1
 
     @nn.compact
@@ -141,6 +185,7 @@ class BasicBlock(nn.Module):
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name, use_pallas_bn=self.use_pallas_bn,
+            int8=self.int8,
         )
         identity = x
         if self.has_downsample:
@@ -179,6 +224,7 @@ class Bottleneck(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
+    int8: bool = False
     expansion: int = 4
 
     @nn.compact
@@ -187,6 +233,7 @@ class Bottleneck(nn.Module):
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name, use_pallas_bn=self.use_pallas_bn,
+            int8=self.int8,
         )
         identity = x
         if self.has_downsample:
@@ -236,6 +283,9 @@ class ResNet(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
+    # Run convolutions on the int8 MXU path at eval (ops/quant.py); the
+    # training path is unchanged. ~1.5x serving throughput on v5e.
+    int8: bool = False
     # Rematerialize each residual block on the backward pass (jax.checkpoint)
     # — trades ~30% more FLOPs for O(depth) less activation memory, enabling
     # much larger per-chip batches.
@@ -248,12 +298,18 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, kernel_size=(7, 7), strides=(2, 2),
-            padding=[(3, 3), (3, 3)], use_bias=False,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=conv_kaiming_init, name="conv1",
-        )(x)
+        if self.int8 and not train:
+            x = QuantConv(
+                64, kernel_size=7, strides=2,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                64, kernel_size=(7, 7), strides=(2, 2),
+                padding=[(3, 3), (3, 3)], use_bias=False,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                kernel_init=conv_kaiming_init, name="conv1",
+            )(x)
         if self.use_pallas_bn:
             from rot_mvgaze_tpu.models.norm import PallasBatchNormAct
 
@@ -302,6 +358,7 @@ class ResNet(nn.Module):
                     param_dtype=self.param_dtype,
                     bn_axis_name=self.bn_axis_name,
                     use_pallas_bn=self.use_pallas_bn,
+                    int8=self.int8,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)
                 inplanes = planes * expansion

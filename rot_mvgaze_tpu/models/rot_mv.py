@@ -295,6 +295,9 @@ class FeatRotationSymm(nn.Module):
     # Pallas fused train-mode BatchNorm(+ReLU+residual) in the backbone —
     # the profiled hot path (see rot_mvgaze_tpu/ops/batchnorm.py).
     use_pallas_bn: bool = False
+    # int8 MXU backbone convs at eval/serving (ops/quant.py): ~1.5x serving
+    # throughput on v5e; train path unaffected; same checkpoints.
+    int8_backbone: bool = False
     # Rematerialize backbone blocks on backward (larger per-chip batches).
     remat: bool = False
     # Run both views through the backbone as ONE concatenated batch (bigger
@@ -313,6 +316,7 @@ class FeatRotationSymm(nn.Module):
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
             use_pallas_bn=self.use_pallas_bn,
+            int8=self.int8_backbone,
             remat=self.remat,
             name="backbone",
         )

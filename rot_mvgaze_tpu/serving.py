@@ -29,6 +29,28 @@ from rot_mvgaze_tpu.geometry import rotation_matrix_2d
 from rot_mvgaze_tpu.models import FeatRotationSymm
 
 
+def make_serving_forward(model: Any, image_size: int = 224):
+    """Pure serving forward: ``(variables, img_0, img_1, head_pose_0,
+    head_pose_1) -> (N, 2) float32 pitchyaw``.
+
+    Shared by the live :class:`GazePredictor` and the AOT exporter
+    (rot_mvgaze_tpu.export) so the deployed artifact is bit-identical to
+    the in-process server.
+    """
+
+    def forward(variables, img_0, img_1, head_pose_0, head_pose_1):
+        data = {
+            "img_0": eval_preprocess(img_0, image_size),
+            "img_1": eval_preprocess(img_1, image_size),
+            "rot_0": rotation_matrix_2d(head_pose_0),
+            "rot_1": rotation_matrix_2d(head_pose_1),
+        }
+        out = model.apply(variables, data, train=False)
+        return out["pred_gaze"].astype(jnp.float32)
+
+    return forward
+
+
 class GazePredictor:
     """Compiled two-view gaze predictor over a FeatRotationSymm checkpoint."""
 
@@ -45,6 +67,7 @@ class GazePredictor:
         image_size: int = 224,
         dtype: Any = jnp.bfloat16,
         use_pallas_fusion: bool = False,
+        int8: bool = False,
         mesh: Any = None,
     ) -> None:
         self.model = FeatRotationSymm(
@@ -56,6 +79,7 @@ class GazePredictor:
             ignore_rotmat=ignore_rotmat,
             dtype=dtype,
             use_pallas_fusion=use_pallas_fusion,
+            int8_backbone=int8,
         )
         self.mesh = mesh
         if mesh is not None:
@@ -77,7 +101,9 @@ class GazePredictor:
             self._batch_sharding = batch_sharding(mesh)
         else:
             self._batch_sharding = None
-        self._forward = jax.jit(self._forward_fn)
+        self._forward = jax.jit(
+            make_serving_forward(self.model, self.image_size)
+        )
 
     def _load(self, path: str) -> Dict[str, Any]:
         if path.endswith((".pth", ".pth.tar", ".pt")):
@@ -104,23 +130,6 @@ class GazePredictor:
         from rot_mvgaze_tpu.train.checkpoints import restore_variables
 
         return jax.tree.map(jnp.asarray, restore_variables(path, {}))
-
-    def _forward_fn(
-        self,
-        variables: Dict[str, Any],
-        img_0: jnp.ndarray,
-        img_1: jnp.ndarray,
-        head_pose_0: jnp.ndarray,
-        head_pose_1: jnp.ndarray,
-    ) -> jnp.ndarray:
-        data = {
-            "img_0": eval_preprocess(img_0, self.image_size),
-            "img_1": eval_preprocess(img_1, self.image_size),
-            "rot_0": rotation_matrix_2d(head_pose_0),
-            "rot_1": rotation_matrix_2d(head_pose_1),
-        }
-        out = self.model.apply(variables, data, train=False)
-        return out["pred_gaze"].astype(jnp.float32)
 
     def predict(
         self,

@@ -116,6 +116,9 @@ def main() -> int:
     p.add_argument("--micro_batch", type=int, default=64)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--f32", action="store_true", help="float32 compute")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 MXU backbone convs (~1.5x throughput on v5e; "
+                        "same checkpoint, small quantization error)")
     p.add_argument("--dp", action="store_true",
                    help="shard each micro-batch over ALL visible chips "
                         "(data-parallel serving; params replicated)")
@@ -143,6 +146,7 @@ def main() -> int:
         micro_batch=args.micro_batch,
         image_size=args.image_size,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        int8=args.int8,
         mesh=mesh,
     )
     # warm the executable so the first request is fast

@@ -1,0 +1,83 @@
+"""AOT export (rot_mvgaze_tpu/export.py): serialized artifact round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rot_mvgaze_tpu.export import (
+    AotGazePredictor,
+    export_serving_artifact,
+    load_serving_artifact,
+)
+from rot_mvgaze_tpu.models import FeatRotationSymm
+from rot_mvgaze_tpu.serving import make_serving_forward
+from rot_mvgaze_tpu.train.checkpoints import save_state
+
+SIZE = 64
+MB = 4
+
+
+@pytest.fixture(scope="module")
+def small_model_and_vars():
+    model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    init_data = {
+        "img_0": jnp.zeros((2, SIZE, SIZE, 3), jnp.float32),
+        "img_1": jnp.zeros((2, SIZE, SIZE, 3), jnp.float32),
+        "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
+    return model, variables
+
+
+def _request(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, 256, (n, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.integers(0, 256, (n, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32),
+    )
+
+
+def test_export_round_trip(tmp_path, small_model_and_vars):
+    model, variables = small_model_and_vars
+    path = str(tmp_path / "serving.stablehlo")
+    exported = export_serving_artifact(
+        model, variables, path, micro_batch=MB, image_size=SIZE
+    )
+    assert exported.in_avals[-4].shape == (MB, SIZE, SIZE, 3)
+
+    loaded = load_serving_artifact(path)
+    args = _request(MB)
+    direct = make_serving_forward(model, SIZE)(variables, *args)
+    via_artifact = jax.jit(loaded.call)(variables, *args)
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(via_artifact), atol=1e-5
+    )
+
+
+def test_aot_predictor_ragged_request(tmp_path, small_model_and_vars):
+    model, variables = small_model_and_vars
+    artifact = str(tmp_path / "serving.stablehlo")
+    ckpt = str(tmp_path / "model.msgpack")
+    export_serving_artifact(
+        model, variables, artifact, micro_batch=MB, image_size=SIZE
+    )
+    save_state(ckpt, dict(variables))
+
+    predictor = AotGazePredictor(artifact, ckpt)
+    assert predictor.micro_batch == MB
+    assert predictor.image_size == SIZE
+
+    # ragged: 2 full micro-batches + padded remainder of 2
+    n = 2 * MB + 2
+    args = _request(n, seed=1)
+    pred = predictor.predict(*args)
+    assert pred.shape == (n, 2)
+    direct = np.asarray(make_serving_forward(model, SIZE)(variables, *args))
+    np.testing.assert_allclose(pred, direct, atol=1e-5)
+
+    # empty request short-circuits
+    assert predictor.predict(*_request(0)).shape == (0, 2)
