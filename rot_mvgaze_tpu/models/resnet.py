@@ -50,8 +50,17 @@ MODEL_URLS = {
 class QuantConv(nn.Module):
     """``nn.Conv`` twin (identical ``{kernel}`` param tree) whose forward
     runs the int8 MXU path (rot_mvgaze_tpu/ops/quant.py): per-channel weight
-    scales + dynamic per-tensor activation scale, int32 accumulation,
-    dequantized into ``dtype``. Any float checkpoint serves both paths."""
+    scales, int32 accumulation, dequantized into ``dtype``. Any float
+    checkpoint serves both paths.
+
+    Activation scales: ``static=False`` computes a dynamic per-tensor scale
+    each call (no calibration needed, but the abs-max reduce breaks fusion);
+    ``static=True`` keeps a calibrated running abs-max in the ``quant``
+    variable collection — run forward passes with ``mutable=["quant"]`` to
+    calibrate (those passes quantize dynamically while recording the range),
+    then frozen passes quantize with the stored scale as a pure elementwise
+    op (measured 1.24x bf16 end-to-end vs 0.85x for dynamic; docs/PERF.md).
+    """
 
     features: int
     kernel_size: int
@@ -59,6 +68,7 @@ class QuantConv(nn.Module):
     groups: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -70,11 +80,26 @@ class QuantConv(nn.Module):
             "kernel", conv_kaiming_init,
             (k, k, in_ch, self.features), self.param_dtype,
         )
+        act_scale = None
+        if self.static:
+            amax = self.variable(
+                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.is_mutable_collection("quant"):
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    )
+                # calibration pass: quantize dynamically (exact range for
+                # THIS batch) while the running max accumulates
+            else:
+                act_scale = jnp.maximum(amax.value, 1e-6) / 127.0
         pad = k // 2
         return int8_conv(
             x, kernel, (self.strides, self.strides),
             [(pad, pad), (pad, pad)],
             feature_group_count=self.groups, out_dtype=self.dtype,
+            act_scale=act_scale,
         )
 
 
@@ -97,7 +122,7 @@ class ConvBN(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
-    int8: bool = False
+    int8: Any = False  # False | True (dynamic scales) | "static" (calibrated)
     conv_name: str = "conv"
     bn_name: str = "bn"
     bn_scale_init: Callable = nn.initializers.ones
@@ -118,6 +143,7 @@ class ConvBN(nn.Module):
                 groups=self.groups,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                static=self.int8 == "static",
                 name=self.conv_name,
             )(x)
         else:
@@ -177,7 +203,7 @@ class BasicBlock(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
-    int8: bool = False
+    int8: Any = False
     expansion: int = 1
 
     @nn.compact
@@ -224,7 +250,7 @@ class Bottleneck(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
-    int8: bool = False
+    int8: Any = False
     expansion: int = 4
 
     @nn.compact
@@ -284,8 +310,9 @@ class ResNet(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
     # Run convolutions on the int8 MXU path at eval (ops/quant.py); the
-    # training path is unchanged. ~1.5x serving throughput on v5e.
-    int8: bool = False
+    # training path is unchanged. False | True (dynamic activation scales) |
+    # "static" (calibrated scales in the `quant` collection — fastest).
+    int8: Any = False
     # Rematerialize each residual block on the backward pass (jax.checkpoint)
     # — trades ~30% more FLOPs for O(depth) less activation memory, enabling
     # much larger per-chip batches.
@@ -301,7 +328,8 @@ class ResNet(nn.Module):
         if self.int8 and not train:
             x = QuantConv(
                 64, kernel_size=7, strides=2,
-                dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                static=self.int8 == "static", name="conv1",
             )(x)
         else:
             x = nn.Conv(

@@ -295,9 +295,11 @@ class FeatRotationSymm(nn.Module):
     # Pallas fused train-mode BatchNorm(+ReLU+residual) in the backbone —
     # the profiled hot path (see rot_mvgaze_tpu/ops/batchnorm.py).
     use_pallas_bn: bool = False
-    # int8 MXU backbone convs at eval/serving (ops/quant.py): ~1.5x serving
-    # throughput on v5e; train path unaffected; same checkpoints.
-    int8_backbone: bool = False
+    # int8 MXU backbone convs at eval/serving (ops/quant.py); train path
+    # unaffected; same checkpoints. False | True (dynamic activation scales)
+    # | "static" (calibrated scales in the `quant` collection: 1.24x bf16
+    # serving throughput on v5e; calibrate with mutable=["quant"] passes).
+    int8_backbone: Any = False
     # Rematerialize backbone blocks on backward (larger per-chip batches).
     remat: bool = False
     # Run both views through the backbone as ONE concatenated batch (bigger

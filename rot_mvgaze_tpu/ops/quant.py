@@ -53,15 +53,28 @@ def int8_conv(
     padding: Any,
     feature_group_count: int = 1,
     out_dtype: Any = jnp.float32,
+    act_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """NHWC conv with dynamic int8 quantization of both operands.
+    """NHWC conv with int8 quantization of both operands.
 
     ``kernel`` is the float HWIO checkpoint weight; its per-output-channel
     scales are recomputed each call (cheap: the kernel is KBs against MBs of
     activations, and XLA fuses the quantize pass into the preceding op).
+
+    ``act_scale``: optional pre-calibrated scalar activation scale. With it,
+    the activation quantize is a pure elementwise op that fuses into the
+    producing epilogue; without it, a dynamic abs-max reduce runs per call
+    (an extra pass over ``x`` — measured ~1.5x slower end-to-end than the
+    calibrated path on v5e, docs/PERF.md r2b).
     """
     w8, sw = quantize_symmetric(kernel, reduce_axes=(0, 1, 2))  # (1,1,1,O)
-    x8, sx = quantize_symmetric(x)  # scalar
+    if act_scale is None:
+        x8, sx = quantize_symmetric(x)  # scalar, dynamic
+    else:
+        sx = act_scale.astype(jnp.float32)
+        x8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / sx), -127, 127
+        ).astype(jnp.int8)
     y = lax.conv_general_dilated(
         x8,
         w8,

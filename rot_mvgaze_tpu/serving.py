@@ -51,6 +51,27 @@ def make_serving_forward(model: Any, image_size: int = 224):
     return forward
 
 
+def make_calibration_forward(model: Any, image_size: int = 224):
+    """Calibration twin of :func:`make_serving_forward` for the static-int8
+    path: runs with the ``quant`` collection mutable so every QuantConv
+    records its activation range (quantizing dynamically meanwhile, so the
+    returned predictions are valid). Returns ``(pred, updated_quant)``."""
+
+    def forward(variables, img_0, img_1, head_pose_0, head_pose_1):
+        data = {
+            "img_0": eval_preprocess(img_0, image_size),
+            "img_1": eval_preprocess(img_1, image_size),
+            "rot_0": rotation_matrix_2d(head_pose_0),
+            "rot_1": rotation_matrix_2d(head_pose_1),
+        }
+        out, updates = model.apply(
+            variables, data, train=False, mutable=["quant"]
+        )
+        return out["pred_gaze"].astype(jnp.float32), updates["quant"]
+
+    return forward
+
+
 class GazePredictor:
     """Compiled two-view gaze predictor over a FeatRotationSymm checkpoint."""
 
@@ -89,6 +110,32 @@ class GazePredictor:
         self.micro_batch = micro_batch
         self.image_size = image_size
         self.variables = self._load(checkpoint)
+        # static-int8: materialize a zeroed `quant` collection (activation
+        # ranges); filled by calibrate() / auto-calibration on the first
+        # request. Checkpoints never carry it — it is serving-side state.
+        self._int8_static = int8 == "static"
+        self._calibrated = False
+        if self._int8_static:
+            dummy = {
+                "img_0": jnp.zeros((1, image_size, image_size, 3)),
+                "img_1": jnp.zeros((1, image_size, image_size, 3)),
+                "rot_0": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+                "rot_1": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+            }
+            shapes = jax.eval_shape(
+                lambda: self.model.init(
+                    {"params": jax.random.PRNGKey(0)}, dummy
+                )
+            )
+            self.variables = {
+                **self.variables,
+                "quant": jax.tree.map(
+                    lambda a: jnp.zeros(a.shape, a.dtype), shapes["quant"]
+                ),
+            }
+            self._calib = jax.jit(
+                make_calibration_forward(self.model, self.image_size)
+            )
         if mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import (
                 batch_sharding,
@@ -146,6 +193,7 @@ class GazePredictor:
         n = img_0.shape[0]
         if n == 0:
             return np.zeros((0, 2), np.float32)
+        use_calib = self._int8_static and not self._calibrated
         mb = self.micro_batch
         outs = []
         for start in range(0, n, mb):
@@ -160,15 +208,38 @@ class GazePredictor:
                     x = jax.device_put(x, self._batch_sharding)
                 return x
 
-            pred = self._forward(
-                self.variables,
+            args = (
                 prep(img_0),
                 prep(img_1),
                 prep(head_pose_0).astype(np.float32),
                 prep(head_pose_1).astype(np.float32),
             )
+            if use_calib:
+                pred, quant = self._calib(self.variables, *args)
+                self.variables = {**self.variables, "quant": quant}
+            else:
+                pred = self._forward(self.variables, *args)
             outs.append(np.asarray(pred)[: end - start])
+        if use_calib:
+            self._calibrated = True
         return np.concatenate(outs, axis=0)
+
+    def calibrate(
+        self,
+        img_0: np.ndarray,
+        img_1: np.ndarray,
+        head_pose_0: np.ndarray,
+        head_pose_1: np.ndarray,
+    ) -> np.ndarray:
+        """static-int8: record activation ranges from representative data
+        (running max — repeated calls extend coverage). Called implicitly on
+        the first ``predict`` if never calibrated; call explicitly with a
+        broad sample for better clipping behavior. Returns the (dynamically
+        quantized, valid) predictions for the calibration data."""
+        if not self._int8_static:
+            raise RuntimeError("calibrate() requires int8='static'")
+        self._calibrated = False
+        return self.predict(img_0, img_1, head_pose_0, head_pose_1)
 
 
 class BatchingPredictor:

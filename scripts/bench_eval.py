@@ -12,7 +12,8 @@ every timed call here is made data-dependent on the previous call's output
 fence is a host readback of the final result.
 
 Env: BENCH_BATCH (128), SERVE_BATCH (8), BENCH_INT8=1 for the int8 MXU
-serving path (ops/quant.py).
+serving path with dynamic activation scales, BENCH_INT8=static for
+calibrated static scales (ops/quant.py).
 
 Prints one JSON line:
   {"eval_imgs_per_sec": ..., "serving_p50_ms": ..., "serving_batch": ...,
@@ -49,7 +50,8 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     serve_batch = int(os.environ.get("SERVE_BATCH", "8"))
-    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    raw = os.environ.get("BENCH_INT8", "0")
+    int8 = {"0": False, "1": True}.get(raw, raw)  # "static" passes through
     size = 224
 
     model = FeatRotationSymm(
@@ -92,6 +94,23 @@ def main() -> None:
 
     # throughput (big batch)
     big = make_batch(batch)
+    if int8 == "static":
+        # one calibration pass (mutable quant collection) before benching
+        @jax.jit
+        def calib(variables, b):
+            data = {
+                "img_0": eval_preprocess(b["img_0"], size),
+                "img_1": eval_preprocess(b["img_1"], size),
+                "rot_0": rotation_matrix_2d(b["hp_0"]),
+                "rot_1": rotation_matrix_2d(b["hp_1"]),
+            }
+            _, updates = model.apply(
+                variables, data, train=False, mutable=["quant"]
+            )
+            return updates["quant"]
+
+        variables = {**variables, "quant": calib(variables, big)}
+
     out = jnp.zeros((batch, 2), jnp.float32)
     for _ in range(3):
         out = fwd(variables, big, out)

@@ -39,7 +39,10 @@ def main(argv=None) -> int:
     p.add_argument("--f32", action="store_true",
                    help="export float32 compute (default bfloat16)")
     p.add_argument("--int8", action="store_true",
-                   help="export the int8 MXU serving graph (ops/quant.py)")
+                   help="export the int8 MXU serving graph with dynamic "
+                        "activation scales (ops/quant.py; static/calibrated "
+                        "scales are live-serving-only — they need "
+                        "representative data at load)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp

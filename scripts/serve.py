@@ -117,8 +117,11 @@ def main() -> int:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--f32", action="store_true", help="float32 compute")
     p.add_argument("--int8", action="store_true",
-                   help="int8 MXU backbone convs (~1.5x throughput on v5e; "
-                        "same checkpoint, small quantization error)")
+                   help="int8 MXU backbone convs with dynamic activation "
+                        "scales (same checkpoint, small quantization error)")
+    p.add_argument("--int8_static", action="store_true",
+                   help="int8 with CALIBRATED activation scales (1.24x bf16 "
+                        "on v5e; auto-calibrates on the first request)")
     p.add_argument("--dp", action="store_true",
                    help="shard each micro-batch over ALL visible chips "
                         "(data-parallel serving; params replicated)")
@@ -146,17 +149,29 @@ def main() -> int:
         micro_batch=args.micro_batch,
         image_size=args.image_size,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        int8=args.int8,
+        int8="static" if args.int8_static else args.int8,
         mesh=mesh,
     )
     # warm the executable so the first request is fast
     s = args.image_size
+    rng = np.random.default_rng(0)
     predictor.predict(
-        np.zeros((1, s, s, 3), np.uint8),
-        np.zeros((1, s, s, 3), np.uint8),
+        rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
+        rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
         np.zeros((1, 2), np.float32),
         np.zeros((1, 2), np.float32),
     )
+    if args.int8_static:
+        # pre-compile the frozen (static-scale) executable too, then let the
+        # first REAL request extend the noise-image calibration before the
+        # ranges freeze
+        predictor.predict(
+            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
+            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
+            np.zeros((1, 2), np.float32),
+            np.zeros((1, 2), np.float32),
+        )
+        predictor._calibrated = False
     from rot_mvgaze_tpu.serving import BatchingPredictor
 
     predictor = BatchingPredictor(predictor, max_delay_ms=args.coalesce_ms)

@@ -101,6 +101,92 @@ def test_int8_model_shares_checkpoints_and_tracks_f32():
     ) < 0.25
 
 
+def test_int8_static_calibrate_then_freeze():
+    """static mode: calibration passes record ranges in the `quant`
+    collection; frozen passes quantize with the stored scales and stay
+    close to both the dynamic-int8 and f32 outputs."""
+    f32_model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    s_model = FeatRotationSymm(
+        backbone_depth=18, num_iter=2, int8_backbone="static"
+    )
+    variables = s_model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    assert "quant" in variables
+    # params subtree identical to the plain model's (checkpoint compatible)
+    v_plain = f32_model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    assert jax.tree.structure(variables["params"]) == jax.tree.structure(
+        v_plain["params"]
+    )
+    # all ranges start at zero
+    assert all(float(a) == 0.0 for a in jax.tree.leaves(variables["quant"]))
+
+    rng = np.random.default_rng(5)
+    data = {
+        "img_0": jnp.asarray(rng.uniform(-2, 2, (4, SIZE, SIZE, 3)), jnp.float32),
+        "img_1": jnp.asarray(rng.uniform(-2, 2, (4, SIZE, SIZE, 3)), jnp.float32),
+        "rot_0": jnp.broadcast_to(jnp.eye(3), (4, 3, 3)),
+        "rot_1": jnp.broadcast_to(jnp.eye(3), (4, 3, 3)),
+    }
+    out_c, updates = s_model.apply(
+        variables, data, train=False, mutable=["quant"]
+    )
+    assert all(float(a) > 0.0 for a in jax.tree.leaves(updates["quant"]))
+    variables = {**variables, "quant": updates["quant"]}
+
+    # frozen pass on the calibration data: no mutation, close to f32
+    out_s = s_model.apply(variables, data, train=False)
+    ref = f32_model.apply(variables, data, train=False)
+    rel = float(
+        jnp.linalg.norm(out_s["img_feat_0"] - ref["img_feat_0"])
+        / jnp.linalg.norm(ref["img_feat_0"])
+    )
+    assert rel < 0.25, rel
+    # calibration-pass output (dynamic quantization) also tracks f32
+    assert float(jnp.max(jnp.abs(out_c["pred_gaze"] - ref["pred_gaze"]))) < 0.3
+
+
+def test_gaze_predictor_static_int8(tmp_path):
+    from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.train.checkpoints import save_state
+
+    f32_model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    variables = f32_model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    ck = str(tmp_path / "m.msgpack")
+    save_state(ck, dict(variables))
+
+    p = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=4, image_size=SIZE,
+        dtype=jnp.float32, int8="static",
+    )
+    rng = np.random.default_rng(6)
+    req = (
+        rng.integers(0, 256, (6, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.integers(0, 256, (6, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.uniform(-0.5, 0.5, (6, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, (6, 2)).astype(np.float32),
+    )
+    first = p.predict(*req)  # auto-calibrates
+    assert p._calibrated
+    second = p.predict(*req)  # frozen static scales
+    assert first.shape == second.shape == (6, 2)
+    # both calibration-pass (dynamic) and frozen predictions track f32
+    ref = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=4, image_size=SIZE,
+        dtype=jnp.float32,
+    ).predict(*req)
+    assert np.max(np.abs(first - ref)) < 0.3
+    assert np.max(np.abs(second - ref)) < 0.3
+
+    # explicit calibrate() on a fresh predictor errors on non-static
+    p_dyn = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=4, image_size=SIZE,
+        dtype=jnp.float32, int8=True,
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        p_dyn.calibrate(*req)
+
+
 def test_int8_model_train_path_is_exact_f32():
     """train=True must bypass quantization entirely."""
     f32_model = FeatRotationSymm(backbone_depth=18, num_iter=2)
