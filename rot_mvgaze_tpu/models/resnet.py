@@ -354,7 +354,10 @@ class ResNet(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
             )(x)
             x = nn.relu(x)
-        # torch MaxPool2d(3, stride=2, padding=1): -inf padding.
+        # torch MaxPool2d(3, stride=2, padding=1): -inf padding. (A
+        # scatter-free 9-candidate-max rewrite lives in ops/pooling.py;
+        # measured 23% SLOWER end-to-end — see docs/PERF.md negative
+        # results — so the reduce_window/select_and_scatter form stays.)
         x = nn.max_pool(
             x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )

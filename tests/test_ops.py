@@ -86,3 +86,30 @@ class TestFusedFuser:
         want = _xla_reference(img, feat, rot, w1, b1) @ w2 + b2
         assert got.shape == (50, 3 * 128)
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+class TestMaxPoolCandidateTree:
+    """ops/pooling.py — utility kept despite the negative perf result."""
+
+    def test_forward_exact_and_grad_parity(self):
+        import flax.linen as nn
+
+        from rot_mvgaze_tpu.ops.pooling import max_pool_3x3s2p1
+
+        rng = np.random.default_rng(0)
+        for shape in [(2, 16, 16, 4), (1, 13, 15, 3)]:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            ref = nn.max_pool(
+                x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
+            out = max_pool_3x3s2p1(x)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+            g_ref = jax.grad(
+                lambda x: jnp.sum(
+                    nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)]) ** 2
+                )
+            )(x)
+            g = jax.grad(lambda x: jnp.sum(max_pool_3x3s2p1(x) ** 2))(x)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(g_ref), atol=1e-6
+            )
