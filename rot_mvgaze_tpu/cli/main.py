@@ -119,6 +119,9 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="data-parallel training over ALL visible chips "
                         "(jax.sharding Mesh; multi-host via jax.distributed). "
                         "batch_size is the GLOBAL batch. False = single device")
+    p.add_argument("--test_breakdown", type=str2bool, default=False,
+                   help="in test mode, also report per-camera and "
+                        "per-subject error (appended to test_results.txt)")
     return p
 
 
@@ -347,6 +350,8 @@ def main(argv=None) -> int:
     else:
         assert config.ckpt_resume is not None, "ckpt_resume is None"
         trainer.test(-1)
+        if getattr(config, "test_breakdown", False):
+            trainer.test_breakdown()
     if getattr(config, "export_torch", None):
         path = trainer.export_torch_checkpoint(config.export_torch)
         print(f"exported reference-format checkpoint: {path}")

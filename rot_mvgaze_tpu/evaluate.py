@@ -26,6 +26,35 @@ def evaluate_gaze(
     single_view: bool = False,
 ) -> float:
     """Mean angular error (degrees, float64 host math) over a test loader."""
+    return evaluate_gaze_detailed(
+        model, variables, loader, image_size=image_size,
+        single_view=single_view,
+    )["mean_error"]
+
+
+def evaluate_gaze_detailed(
+    model: Any,
+    variables: Dict[str, Any],
+    loader: Iterable,
+    dataset: Any = None,
+    image_size: int = 224,
+    single_view: bool = False,
+) -> Dict[str, Any]:
+    """Eval protocol + per-group error breakdown (beyond the reference's
+    single mean, /root/reference/trainer.py:192-198).
+
+    Returns ``{"mean_error", "n", "per_camera", "per_subject"}``:
+
+    - ``per_camera``: keyed by camera id (``idx_0 % 18`` — the frame-major
+      row layout of /root/reference/dataset/gaze.py:62-65); present when the
+      loader batches carry ``idx_0``.
+    - ``per_subject``: present when ``dataset`` (a GazeDataset /
+      PackedGazeDataset with ``idx_to_kv``) is given and the loader iterates
+      in dataset order (eval loaders here never shuffle); sample i maps to
+      ``dataset.idx_to_kv[i][0]``.
+
+    Each group value is ``{"error": mean_deg, "n": count}``.
+    """
 
     @jax.jit
     def step(batch):
@@ -45,7 +74,7 @@ def evaluate_gaze(
 
     from rot_mvgaze_tpu.utils.padding import pad_batch
 
-    preds, gts = [], []
+    preds, gts, idxs = [], [], []
     # Pad every batch to the first-seen (full) batch size so the jitted step
     # compiles exactly once — a ragged final batch would otherwise trigger a
     # second multi-minute compile on a tunneled TPU. Padding repeats the last
@@ -63,6 +92,54 @@ def evaluate_gaze(
         device_batch = pad_batch(device_batch, full_bs)
         preds.append(np.asarray(step(device_batch))[:bs])
         gts.append(np.asarray(batch["gt_gaze"]))
+        if "idx_0" in batch:
+            idxs.append(np.asarray(batch["idx_0"]).reshape(-1))
     pred_all = np.concatenate(preds)
     gt_all = np.concatenate(gts)
-    return float(np.mean(angular_error_numpy(pred_all, gt_all)))
+    errors = angular_error_numpy(pred_all, gt_all)
+
+    def group_stats(labels):
+        out = {}
+        for lab in sorted(set(labels.tolist())):
+            m = labels == lab
+            out[lab] = {
+                "error": float(np.mean(errors[m])),
+                "n": int(np.sum(m)),
+            }
+        return out
+
+    result: Dict[str, Any] = {
+        "mean_error": float(np.mean(errors)),
+        "n": int(errors.shape[0]),
+        "per_camera": None,
+        "per_subject": None,
+    }
+    if idxs and sum(i.shape[0] for i in idxs) == errors.shape[0]:
+        from rot_mvgaze_tpu.data.pairing import NUM_CAMERAS
+
+        result["per_camera"] = group_stats(
+            np.concatenate(idxs) % NUM_CAMERAS
+        )
+    if dataset is not None and hasattr(dataset, "idx_to_kv"):
+        if len(dataset.idx_to_kv) == errors.shape[0]:
+            subjects = np.asarray(
+                [kv[0] for kv in dataset.idx_to_kv[: errors.shape[0]]]
+            )
+            result["per_subject"] = group_stats(subjects)
+    return result
+
+
+def format_breakdown(detail: Dict[str, Any]) -> str:
+    """Render evaluate_gaze_detailed output as the text block appended to
+    test_results.txt by ``--test_breakdown``."""
+    lines = [
+        f"mean error: {detail['mean_error']:.4f} deg over {detail['n']} samples"
+    ]
+    for group in ("per_camera", "per_subject"):
+        stats = detail.get(group)
+        if not stats:
+            continue
+        lines.append(f"{group}:")
+        for lab, s in stats.items():
+            lines.append(f"  {lab}: {s['error']:.4f} deg (n={s['n']})")
+    return "\n".join(lines) + "\n"

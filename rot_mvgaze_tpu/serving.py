@@ -115,6 +115,10 @@ class GazePredictor:
         # request. Checkpoints never carry it — it is serving-side state.
         self._int8_static = int8 == "static"
         self._calibrated = False
+        # calibration mutates self.variables; concurrent first requests must
+        # not interleave the read-modify-write (BatchingPredictor serializes
+        # anyway; this guards direct multi-threaded GazePredictor use)
+        self._calib_lock = threading.Lock()
         if self._int8_static:
             dummy = {
                 "img_0": jnp.zeros((1, image_size, image_size, 3)),
@@ -215,8 +219,9 @@ class GazePredictor:
                 prep(head_pose_1).astype(np.float32),
             )
             if use_calib:
-                pred, quant = self._calib(self.variables, *args)
-                self.variables = {**self.variables, "quant": quant}
+                with self._calib_lock:
+                    pred, quant = self._calib(self.variables, *args)
+                    self.variables = {**self.variables, "quant": quant}
             else:
                 pred = self._forward(self.variables, *args)
             outs.append(np.asarray(pred)[: end - start])

@@ -241,6 +241,7 @@ class Trainer:
         eval_model = self.model
         if getattr(self.model, "dtype", jnp.float32) != jnp.float32:
             eval_model = self.model.clone(dtype=jnp.float32)
+        self._eval_model = eval_model
         self._eval_step = jax.jit(make_eval_step(eval_model, self.image_size))
 
     # ------------------------------------------------------------------
@@ -474,6 +475,34 @@ class Trainer:
             f.write(msg)
         self.writer.flush()
         return avg_error
+
+    # ------------------------------------------------------------------
+    def test_breakdown(self) -> Dict[str, Any]:
+        """Per-camera / per-subject error breakdown over the test loader
+        (beyond the reference's single mean). Appends the report to
+        ``test_results.txt``. Single-host view: under multi-host data
+        loading each process reports its own shard."""
+        from rot_mvgaze_tpu.evaluate import (
+            evaluate_gaze_detailed,
+            format_breakdown,
+        )
+
+        assert self.test_loader is not None
+        detail = evaluate_gaze_detailed(
+            self._eval_model,
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            },
+            self.test_loader,
+            dataset=getattr(self.test_loader, "dataset", None),
+            image_size=self.image_size,
+        )
+        report = format_breakdown(detail)
+        print(report, end="")
+        with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
+            f.write(report)
+        return detail
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, add: Optional[str] = None) -> str:

@@ -436,3 +436,35 @@ class TestLocalBatchToGlobal:
         step = jax.jit(make_train_step(model, metrics, tx, image_size=32))
         state, stats = step(state, gbatch, jax.random.PRNGKey(0))
         assert np.isfinite(float(stats["loss_gaze"]))
+
+class TestTestBreakdown:
+    def test_per_camera_and_subject_breakdown(self, tmp_path):
+        """--test_breakdown: per-camera / per-subject error report (beyond
+        the reference's single mean, /root/reference/trainer.py:192)."""
+        data_path = _make_corpus(tmp_path)
+        args = get_parser().parse_args(
+            [
+                "--mode", "train", "--exp_name", "mpiinv_known",
+                "--data_path", data_path,
+                "--output_dir", str(tmp_path / "logs"),
+                "--batch_size", "16", "--test_batch_size", "16",
+                "--image_size", "32", "--backbone_depth", "18",
+                "--num_iter", "1", "--num_workers", "2", "--dp", "false",
+            ]
+        )
+        trainer = build_experiment(args)
+        detail = trainer.test_breakdown()
+        assert detail["n"] > 0 and np.isfinite(detail["mean_error"])
+        assert detail["per_camera"], "idx_0 present => per-camera stats"
+        assert sum(s["n"] for s in detail["per_camera"].values()) == detail["n"]
+        # known split: every camera id must be in the 'all' tag range
+        assert all(0 <= c < 18 for c in detail["per_camera"])
+        if detail["per_subject"] is not None:
+            assert (
+                sum(s["n"] for s in detail["per_subject"].values())
+                == detail["n"]
+            )
+        report = os.path.join(trainer.output_dir, "test_results.txt")
+        with open(report) as f:
+            text = f.read()
+        assert "per_camera" in text and "mean error" in text
