@@ -73,6 +73,20 @@ def export_serving_artifact(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(blob)
+    # metadata sidecar: records the architecture so the loader can convert
+    # reference .pth.tar checkpoints without being told the config
+    import json
+
+    from rot_mvgaze_tpu.serving import MODEL_CONFIG_KEYS
+
+    meta = {
+        k: getattr(model, k)
+        for k in MODEL_CONFIG_KEYS
+        if hasattr(model, k)
+    }
+    meta.update(micro_batch=micro_batch, image_size=image_size)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
     return exported
 
 
@@ -95,11 +109,35 @@ class AotGazePredictor:
         img_aval = self.exported.in_avals[-4]
         self.micro_batch = int(img_aval.shape[0])
         self.image_size = int(img_aval.shape[1])
-        from rot_mvgaze_tpu.train.checkpoints import restore_variables
+        if checkpoint.endswith((".pth", ".pth.tar", ".pt")):
+            # reference checkpoint: the exporter's metadata sidecar carries
+            # the architecture needed for conversion
+            import json
 
-        self.variables = jax.tree.map(
-            jnp.asarray, restore_variables(checkpoint, {})
-        )
+            from rot_mvgaze_tpu.models import FeatRotationSymm
+            from rot_mvgaze_tpu.serving import (
+                MODEL_CONFIG_KEYS,
+                load_variables_for_model,
+            )
+
+            sidecar = artifact_path + ".json"
+            if not os.path.exists(sidecar):
+                raise FileNotFoundError(
+                    f"loading a torch checkpoint needs the {sidecar} "
+                    "metadata sidecar written by export_serving_artifact"
+                )
+            with open(sidecar) as f:
+                meta = json.load(f)
+            model = FeatRotationSymm(
+                **{k: meta[k] for k in MODEL_CONFIG_KEYS if k in meta}
+            )
+            self.variables = load_variables_for_model(checkpoint, model)
+        else:
+            from rot_mvgaze_tpu.train.checkpoints import restore_variables
+
+            self.variables = jax.tree.map(
+                jnp.asarray, restore_variables(checkpoint, {})
+            )
         self._call = jax.jit(self.exported.call)
 
     def predict(

@@ -29,6 +29,35 @@ from rot_mvgaze_tpu.geometry import rotation_matrix_2d
 from rot_mvgaze_tpu.models import FeatRotationSymm
 
 
+MODEL_CONFIG_KEYS = (
+    "backbone_depth",
+    "num_iter",
+    "share_weights",
+    "encode_rotmat",
+    "share_feature",
+    "ignore_rotmat",
+)
+
+
+def load_variables_for_model(path: str, model: Any) -> Dict[str, Any]:
+    """Load serving variables from a native msgpack checkpoint or a
+    reference ``.pth.tar`` (converted using the model's config)."""
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        from rot_mvgaze_tpu.compat import (
+            convert_rot_mv_state_dict,
+            load_torch_state_dict,
+        )
+
+        cfg = {k: getattr(model, k) for k in MODEL_CONFIG_KEYS}
+        converted = convert_rot_mv_state_dict(
+            load_torch_state_dict(path), **cfg
+        )
+        return jax.tree.map(jnp.asarray, converted)
+    from rot_mvgaze_tpu.train.checkpoints import restore_variables
+
+    return jax.tree.map(jnp.asarray, restore_variables(path, {}))
+
+
 def make_serving_forward(model: Any, image_size: int = 224):
     """Pure serving forward: ``(variables, img_0, img_1, head_pose_0,
     head_pose_1) -> (N, 2) float32 pitchyaw``.
@@ -157,30 +186,7 @@ class GazePredictor:
         )
 
     def _load(self, path: str) -> Dict[str, Any]:
-        if path.endswith((".pth", ".pth.tar", ".pt")):
-            from rot_mvgaze_tpu.compat import (
-                convert_rot_mv_state_dict,
-                load_torch_state_dict,
-            )
-
-            cfg = {
-                k: getattr(self.model, k)
-                for k in (
-                    "backbone_depth",
-                    "num_iter",
-                    "share_weights",
-                    "encode_rotmat",
-                    "share_feature",
-                    "ignore_rotmat",
-                )
-            }
-            converted = convert_rot_mv_state_dict(
-                load_torch_state_dict(path), **cfg
-            )
-            return jax.tree.map(jnp.asarray, converted)
-        from rot_mvgaze_tpu.train.checkpoints import restore_variables
-
-        return jax.tree.map(jnp.asarray, restore_variables(path, {}))
+        return load_variables_for_model(path, self.model)
 
     def predict(
         self,

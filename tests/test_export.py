@@ -81,3 +81,42 @@ def test_aot_predictor_ragged_request(tmp_path, small_model_and_vars):
 
     # empty request short-circuits
     assert predictor.predict(*_request(0)).shape == (0, 2)
+
+
+def test_aot_predictor_torch_checkpoint_via_sidecar(tmp_path, small_model_and_vars):
+    """The metadata sidecar written next to the artifact lets the AOT
+    loader convert a reference .pth.tar without being told the config."""
+    import json
+
+    import torch
+
+    from rot_mvgaze_tpu.compat import flax_to_torch_state_dict
+
+    model, variables = small_model_and_vars
+    artifact = str(tmp_path / "serving.stablehlo")
+    export_serving_artifact(
+        model, variables, artifact, micro_batch=MB, image_size=SIZE
+    )
+    with open(artifact + ".json") as f:
+        meta = json.load(f)
+    assert meta["backbone_depth"] == 18 and meta["num_iter"] == 2
+    assert meta["micro_batch"] == MB and meta["image_size"] == SIZE
+
+    sd = flax_to_torch_state_dict(
+        variables, backbone_depth=18, num_iter=2
+    )
+    pth = str(tmp_path / "ref.pth.tar")
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, pth)
+
+    predictor = AotGazePredictor(artifact, pth)
+    args = _request(MB, seed=2)
+    pred = predictor.predict(*args)
+    direct = np.asarray(make_serving_forward(model, SIZE)(variables, *args))
+    np.testing.assert_allclose(pred, direct, atol=1e-4)
+
+    # torch checkpoint without a sidecar is a clean error
+    import os
+
+    os.rename(artifact + ".json", artifact + ".json.bak")
+    with pytest.raises(FileNotFoundError):
+        AotGazePredictor(artifact, pth)
