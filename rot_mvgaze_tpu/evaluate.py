@@ -97,6 +97,23 @@ def evaluate_gaze_detailed(
     pred_all = np.concatenate(preds)
     gt_all = np.concatenate(gts)
     errors = angular_error_numpy(pred_all, gt_all)
+    idx_0 = (
+        np.concatenate(idxs)
+        if idxs and sum(i.shape[0] for i in idxs) == errors.shape[0]
+        else None
+    )
+    return breakdown_from_errors(errors, idx_0=idx_0, dataset=dataset)
+
+
+def breakdown_from_errors(
+    errors: np.ndarray,
+    idx_0: "np.ndarray | None" = None,
+    dataset: Any = None,
+) -> Dict[str, Any]:
+    """Group per-sample angular errors: per camera (``idx_0 % 18``) and per
+    subject (``dataset.idx_to_kv`` order). Used by both the standalone
+    evaluator and ``Trainer.test`` (which reuses its already-computed
+    per-sample errors — no second eval pass)."""
 
     def group_stats(labels):
         out = {}
@@ -114,11 +131,11 @@ def evaluate_gaze_detailed(
         "per_camera": None,
         "per_subject": None,
     }
-    if idxs and sum(i.shape[0] for i in idxs) == errors.shape[0]:
+    if idx_0 is not None and idx_0.shape[0] == errors.shape[0]:
         from rot_mvgaze_tpu.data.pairing import NUM_CAMERAS
 
         result["per_camera"] = group_stats(
-            np.concatenate(idxs) % NUM_CAMERAS
+            np.asarray(idx_0).reshape(-1) % NUM_CAMERAS
         )
     if dataset is not None and hasattr(dataset, "idx_to_kv"):
         if len(dataset.idx_to_kv) == errors.shape[0]:

@@ -93,7 +93,15 @@ class QuantConv(nn.Module):
                 # calibration pass: quantize dynamically (exact range for
                 # THIS batch) while the running max accumulates
             else:
-                act_scale = jnp.maximum(amax.value, 1e-6) / 127.0
+                # Never-calibrated guard: a zero running max would make the
+                # scale ~1e-8 and clip every activation to garbage. Fall
+                # back to a conservative fixed range (post-BN/ReLU
+                # activations rarely exceed |8|) — degraded precision, not
+                # silent nonsense. Calibrate for full accuracy.
+                amax_eff = jnp.where(
+                    amax.value > 0, amax.value, jnp.float32(8.0)
+                )
+                act_scale = amax_eff / 127.0
         pad = k // 2
         return int8_conv(
             x, kernel, (self.strides, self.strides),

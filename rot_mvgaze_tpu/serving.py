@@ -203,7 +203,21 @@ class GazePredictor:
         n = img_0.shape[0]
         if n == 0:
             return np.zeros((0, 2), np.float32)
-        use_calib = self._int8_static and not self._calibrated
+        return self._predict(
+            img_0, img_1, head_pose_0, head_pose_1,
+            force_calib=self._int8_static and not self._calibrated,
+        )
+
+    def _predict(
+        self,
+        img_0: np.ndarray,
+        img_1: np.ndarray,
+        head_pose_0: np.ndarray,
+        head_pose_1: np.ndarray,
+        force_calib: bool = False,
+    ) -> np.ndarray:
+        n = img_0.shape[0]
+        use_calib = force_calib
         mb = self.micro_batch
         outs = []
         for start in range(0, n, mb):
@@ -232,7 +246,8 @@ class GazePredictor:
                 pred = self._forward(self.variables, *args)
             outs.append(np.asarray(pred)[: end - start])
         if use_calib:
-            self._calibrated = True
+            with self._calib_lock:
+                self._calibrated = True
         return np.concatenate(outs, axis=0)
 
     def calibrate(
@@ -245,12 +260,31 @@ class GazePredictor:
         """static-int8: record activation ranges from representative data
         (running max — repeated calls extend coverage). Called implicitly on
         the first ``predict`` if never calibrated; call explicitly with a
-        broad sample for better clipping behavior. Returns the (dynamically
-        quantized, valid) predictions for the calibration data."""
+        broad sample for better clipping behavior. Always runs the
+        calibration pass for ITS data regardless of concurrent predicts.
+        Returns the (dynamically quantized, valid) predictions for the
+        calibration data."""
         if not self._int8_static:
             raise RuntimeError("calibrate() requires int8='static'")
-        self._calibrated = False
-        return self.predict(img_0, img_1, head_pose_0, head_pose_1)
+        out = self._predict(
+            img_0, img_1, head_pose_0, head_pose_1, force_calib=True
+        )
+        return out
+
+    def reset_calibration(self) -> None:
+        """static-int8: zero the recorded activation ranges (e.g. after a
+        warmup on non-representative data) so the next request — or an
+        explicit :meth:`calibrate` — re-records them from scratch."""
+        if not self._int8_static:
+            return
+        with self._calib_lock:
+            self.variables = {
+                **self.variables,
+                "quant": jax.tree.map(
+                    lambda a: jnp.zeros_like(a), self.variables["quant"]
+                ),
+            }
+            self._calibrated = False
 
 
 class BatchingPredictor:

@@ -407,6 +407,7 @@ class Trainer:
         )
         pred_all = np.zeros((n_test, 2))
         gt_all = np.zeros((n_test, 2))
+        idx_all = np.full((n_test,), -1, np.int64)
         save_index = 0
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         # Pad every batch to ONE fixed shape: the first-seen batch size
@@ -430,6 +431,10 @@ class Trainer:
         from rot_mvgaze_tpu.parallel.mesh import put_sharded
 
         for i, (batch, bs) in enumerate(batches()):
+            if "idx_0" in batch:  # host-side, pre-sharding (for breakdowns)
+                idx_all[save_index : save_index + bs] = np.asarray(
+                    batch["idx_0"]
+                ).reshape(-1)[:bs]
             if sharding is not None:
                 batch = jax.tree.map(
                     lambda x: put_sharded(x, sharding)
@@ -455,6 +460,12 @@ class Trainer:
         if save_index != n_test:
             print(f"test saved {save_index} != dataset size {n_test}")
         errors = angular_error_numpy(pred_all[:save_index], gt_all[:save_index])
+        # stash this host's per-sample view for test_breakdown() — grouping
+        # reuses these arrays instead of a second eval pass/compile
+        self._last_eval_errors = errors
+        self._last_eval_idx = (
+            idx_all[:save_index] if (idx_all[:save_index] >= 0).all() else None
+        )
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -478,27 +489,36 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def test_breakdown(self) -> Dict[str, Any]:
-        """Per-camera / per-subject error breakdown over the test loader
-        (beyond the reference's single mean). Appends the report to
-        ``test_results.txt``. Single-host view: under multi-host data
-        loading each process reports its own shard."""
+        """Per-camera / per-subject error breakdown (beyond the reference's
+        single mean). Reuses the per-sample errors collected by the most
+        recent ``test()`` call — no second eval pass or compile; runs
+        ``test(-1)`` first if none happened yet. Under multi-host data
+        loading the groups cover THIS host's input shard only (labeled so in
+        the report); per-subject grouping needs the full dataset order and
+        is skipped there."""
         from rot_mvgaze_tpu.evaluate import (
-            evaluate_gaze_detailed,
+            breakdown_from_errors,
             format_breakdown,
         )
 
         assert self.test_loader is not None
-        detail = evaluate_gaze_detailed(
-            self._eval_model,
-            {
-                "params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-            },
-            self.test_loader,
-            dataset=getattr(self.test_loader, "dataset", None),
-            image_size=self.image_size,
+        if getattr(self, "_last_eval_errors", None) is None:
+            self.test(-1)
+        multi_host = jax.process_count() > 1
+        detail = breakdown_from_errors(
+            self._last_eval_errors,
+            idx_0=self._last_eval_idx,
+            dataset=(
+                None
+                if multi_host
+                else getattr(self.test_loader, "dataset", None)
+            ),
         )
         report = format_breakdown(detail)
+        if multi_host:
+            report = (
+                f"[process {jax.process_index()} input shard only]\n" + report
+            )
         print(report, end="")
         with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
             f.write(report)

@@ -95,21 +95,15 @@ def main() -> None:
     # throughput (big batch)
     big = make_batch(batch)
     if int8 == "static":
-        # one calibration pass (mutable quant collection) before benching
-        @jax.jit
-        def calib(variables, b):
-            data = {
-                "img_0": eval_preprocess(b["img_0"], size),
-                "img_1": eval_preprocess(b["img_1"], size),
-                "rot_0": rotation_matrix_2d(b["hp_0"]),
-                "rot_1": rotation_matrix_2d(b["hp_1"]),
-            }
-            _, updates = model.apply(
-                variables, data, train=False, mutable=["quant"]
-            )
-            return updates["quant"]
+        # one calibration pass (mutable quant collection) before benching —
+        # the same graph production serves (serving.make_calibration_forward)
+        from rot_mvgaze_tpu.serving import make_calibration_forward
 
-        variables = {**variables, "quant": calib(variables, big)}
+        calib = jax.jit(make_calibration_forward(model, size))
+        _, quant = calib(
+            variables, big["img_0"], big["img_1"], big["hp_0"], big["hp_1"]
+        )
+        variables = {**variables, "quant": quant}
 
     out = jnp.zeros((batch, 2), jnp.float32)
     for _ in range(3):

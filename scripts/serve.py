@@ -162,16 +162,17 @@ def main() -> int:
         np.zeros((1, 2), np.float32),
     )
     if args.int8_static:
-        # pre-compile the frozen (static-scale) executable too, then let the
-        # first REAL request extend the noise-image calibration before the
-        # ranges freeze
+        # pre-compile the frozen (static-scale) executable too, then DISCARD
+        # the noise-image calibration entirely — act ranges are a running
+        # max, so noise statistics would otherwise pollute them for the life
+        # of the server. The first real request calibrates from scratch.
         predictor.predict(
             rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
             rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
             np.zeros((1, 2), np.float32),
             np.zeros((1, 2), np.float32),
         )
-        predictor._calibrated = False
+        predictor.reset_calibration()
     from rot_mvgaze_tpu.serving import BatchingPredictor
 
     predictor = BatchingPredictor(predictor, max_delay_ms=args.coalesce_ms)

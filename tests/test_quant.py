@@ -210,3 +210,52 @@ def test_int8_model_train_path_is_exact_f32():
     np.testing.assert_array_equal(
         np.asarray(ref["pred_gaze"]), np.asarray(out["pred_gaze"])
     )
+
+
+def test_int8_static_uncalibrated_fallback_is_sane():
+    """Frozen static pass with an all-zero (never-calibrated) range must
+    fall back to the conservative fixed scale, not clip to garbage."""
+    f32_model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    s_model = FeatRotationSymm(
+        backbone_depth=18, num_iter=2, int8_backbone="static"
+    )
+    variables = s_model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    rng = np.random.default_rng(7)
+    data = {
+        "img_0": jnp.asarray(rng.uniform(-2, 2, (4, SIZE, SIZE, 3)), jnp.float32),
+        "img_1": jnp.asarray(rng.uniform(-2, 2, (4, SIZE, SIZE, 3)), jnp.float32),
+        "rot_0": jnp.broadcast_to(jnp.eye(3), (4, 3, 3)),
+        "rot_1": jnp.broadcast_to(jnp.eye(3), (4, 3, 3)),
+    }
+    # frozen pass WITHOUT calibration: quant ranges are all zero
+    out = s_model.apply(variables, data, train=False)
+    ref = f32_model.apply(variables, data, train=False)
+    assert np.all(np.isfinite(np.asarray(out["pred_gaze"])))
+    # bounded degradation, not nonsense (fixed |8| range vs true ranges)
+    assert float(jnp.max(jnp.abs(out["pred_gaze"] - ref["pred_gaze"]))) < 0.5
+
+
+def test_reset_calibration_zeroes_ranges(tmp_path):
+    from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.train.checkpoints import save_state
+
+    model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    ck = str(tmp_path / "m.msgpack")
+    save_state(ck, dict(variables))
+    p = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=4, image_size=SIZE,
+        dtype=jnp.float32, int8="static",
+    )
+    rng = np.random.default_rng(8)
+    req = (
+        rng.integers(0, 256, (4, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.integers(0, 256, (4, SIZE, SIZE, 3), dtype=np.uint8),
+        np.zeros((4, 2), np.float32),
+        np.zeros((4, 2), np.float32),
+    )
+    p.predict(*req)
+    assert any(float(a) > 0 for a in jax.tree.leaves(p.variables["quant"]))
+    p.reset_calibration()
+    assert all(float(a) == 0 for a in jax.tree.leaves(p.variables["quant"]))
+    assert not p._calibrated
