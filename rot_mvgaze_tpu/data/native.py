@@ -45,14 +45,25 @@ def _load_library() -> Optional[ctypes.CDLL]:
                 _SRC
             ):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                        "-fPIC", "-o", _SO, _SRC, "-lpthread",
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
+                # compile to a private temp path, then atomically publish:
+                # concurrent builders can't corrupt each other's .so, and an
+                # interrupted compile never leaves a half-written library
+                # whose fresh mtime would suppress the rebuild forever
+                tmp_so = f"{_SO}.tmp.{os.getpid()}"
+                try:
+                    subprocess.run(
+                        [
+                            "g++", "-O3", "-march=native", "-std=c++17",
+                            "-shared", "-fPIC", "-o", tmp_so, _SRC,
+                            "-lpthread",
+                        ],
+                        check=True,
+                        capture_output=True,
+                    )
+                    os.replace(tmp_so, _SO)
+                finally:
+                    if os.path.exists(tmp_so):
+                        os.unlink(tmp_so)
             lib = ctypes.CDLL(_SO)
         except (OSError, subprocess.CalledProcessError):
             return None
@@ -249,24 +260,21 @@ class NativeBatchLoader:
         self._rows_b = kv[:, 2]
 
     def num_samples(self) -> int:
-        n = len(self.dataset)
-        if self.process_shard is not None:
-            n = n // self.process_shard[1]
-        return n
+        from rot_mvgaze_tpu.data.pipeline import sharded_num_samples
+
+        return sharded_num_samples(len(self.dataset), self.process_shard)
 
     def __len__(self) -> int:
         n = self.num_samples()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_order(self) -> np.ndarray:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
-        if self.process_shard is not None:
-            i, p = self.process_shard
-            order = order[i::p][: n // p]
-        return order
+        from rot_mvgaze_tpu.data.pipeline import epoch_order
+
+        return epoch_order(
+            len(self.dataset), self.shuffle, self.seed, self.epoch,
+            self.process_shard,
+        )
 
     def __iter__(self):
         pool = self.dataset.pool
@@ -304,15 +312,23 @@ class NativeBatchLoader:
             return (t0, t1, buf)
 
         inflight = []
-        for start in starts[:2]:
-            inflight.append(submit(start))
-        next_i = 2
-        while inflight:
-            t0, t1, buf = inflight.pop(0)
-            pool.wait(t0)
-            pool.wait(t1)
-            if next_i < len(starts):
-                inflight.append(submit(starts[next_i]))
-                next_i += 1
-            yield buf
-        self.epoch += 1
+        try:
+            for start in starts[:2]:
+                inflight.append(submit(start))
+            next_i = 2
+            while inflight:
+                t0, t1, buf = inflight.pop(0)
+                pool.wait(t0)
+                pool.wait(t1)
+                if next_i < len(starts):
+                    inflight.append(submit(starts[next_i]))
+                    next_i += 1
+                yield buf
+        finally:
+            # Early consumer exit (preemption, break): drain in-flight
+            # gathers so their pinned buffers are released, and advance the
+            # epoch so a resumed run reshuffles — the BatchLoader contract.
+            for t0, t1, _buf in inflight:
+                pool.wait(t0)
+                pool.wait(t1)
+            self.epoch += 1

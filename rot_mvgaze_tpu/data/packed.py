@@ -53,20 +53,48 @@ def pack_hdf5(
         img_off = HEADER_SIZE
         gaze_off = img_off + n * h * w * c
         pose_off = gaze_off + gaze.nbytes
-        with open(out_path, "wb") as out:
-            out.write(MAGIC)
-            out.write(struct.pack("<Q", n))
-            out.write(struct.pack("<IIII", h, w, c, 0))
-            out.write(struct.pack("<QQQ", img_off, gaze_off, pose_off))
-            assert out.tell() == HEADER_SIZE
-            for start in range(0, n, chunk):
-                block = np.asarray(f["face_patch"][start : start + chunk])
-                if color_type == "bgr":
-                    block = block[..., ::-1]
-                out.write(np.ascontiguousarray(block).tobytes())
-            out.write(gaze.tobytes())
-            out.write(pose.tobytes())
+        # Atomic publish: stream into a temp file, fsync, then rename. A
+        # crash/preemption mid-pack must never leave a truncated file at the
+        # final path — its mtime would pass the freshness check and the
+        # mmap consumers would read past EOF (SIGBUS in the C++ gather).
+        tmp_path = f"{out_path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp_path, "wb") as out:
+                out.write(MAGIC)
+                out.write(struct.pack("<Q", n))
+                out.write(struct.pack("<IIII", h, w, c, 0))
+                out.write(struct.pack("<QQQ", img_off, gaze_off, pose_off))
+                assert out.tell() == HEADER_SIZE
+                for start in range(0, n, chunk):
+                    block = np.asarray(f["face_patch"][start : start + chunk])
+                    if color_type == "bgr":
+                        block = block[..., ::-1]
+                    out.write(np.ascontiguousarray(block).tobytes())
+                out.write(gaze.tobytes())
+                out.write(pose.tobytes())
+                out.flush()
+                os.fsync(out.fileno())
+            os.replace(tmp_path, out_path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
     return out_path
+
+
+def expected_size(path: str) -> int:
+    """Total byte size a packed file's header claims (for integrity checks)."""
+    n, h, w, c, _img_off, _gaze_off, pose_off = read_header(path)
+    return pose_off + n * 8
+
+
+def is_valid_pack(path: str) -> bool:
+    """True iff ``path`` is a complete packed cache (magic + full extent)."""
+    try:
+        if os.path.getsize(path) < HEADER_SIZE:
+            return False
+        return os.path.getsize(path) >= expected_size(path)
+    except (OSError, AssertionError):
+        return False
 
 
 def read_header(path: str) -> Tuple[int, int, int, int, int, int, int]:
@@ -117,7 +145,11 @@ def pack_dataset(
     for name in subjects:
         src = os.path.join(dataset_path, name)
         dst = os.path.join(cache_dir, name + ".rmgpack")
-        if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        if (
+            not os.path.exists(dst)
+            or os.path.getmtime(dst) < os.path.getmtime(src)
+            or not is_valid_pack(dst)  # truncated/corrupt cache -> repack
+        ):
             pack_hdf5(src, dst, dataset_name=dataset_name, color_type=color_type)
         out.append(dst)
     return out

@@ -35,6 +35,34 @@ def collate(samples: list) -> Dict[str, np.ndarray]:
     return batch
 
 
+def sharded_num_samples(n: int, process_shard: "tuple | None") -> int:
+    """Samples per epoch on this host under the multi-host shard contract."""
+    if process_shard is not None:
+        n = n // process_shard[1]
+    return n
+
+
+def epoch_order(
+    n: int,
+    shuffle: bool,
+    seed: int,
+    epoch: int,
+    process_shard: "tuple | None",
+) -> np.ndarray:
+    """The ONE definition of per-epoch iteration order (shared by
+    BatchLoader and NativeBatchLoader): every host computes the same seeded
+    global order, then takes its strided slice truncated to ``n // count``
+    — identical batch counts on all hosts, which must step the jitted train
+    step in lockstep."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng((seed, epoch)).shuffle(order)
+    if process_shard is not None:
+        i, p = process_shard
+        order = order[i::p][: n // p]
+    return order
+
+
 class BatchLoader:
     """Shuffling, thread-pooled batch iterator over an indexable dataset.
 
@@ -73,10 +101,7 @@ class BatchLoader:
 
     def num_samples(self) -> int:
         """Samples this loader will actually yield per epoch (pre-batching)."""
-        n = len(self.dataset)
-        if self.process_shard is not None:
-            n = n // self.process_shard[1]
-        return n
+        return sharded_num_samples(len(self.dataset), self.process_shard)
 
     def __len__(self) -> int:
         n = self.num_samples()
@@ -85,14 +110,10 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self) -> Iterator[np.ndarray]:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng((self.seed, self.epoch))
-            rng.shuffle(order)
-        if self.process_shard is not None:
-            i, p = self.process_shard
-            order = order[i::p][: n // p]
+        order = epoch_order(
+            len(self.dataset), self.shuffle, self.seed, self.epoch,
+            self.process_shard,
+        )
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):

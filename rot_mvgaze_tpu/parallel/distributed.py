@@ -19,6 +19,7 @@ then feed per-host batches with
 
 from __future__ import annotations
 
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -44,10 +45,29 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured), or already
-        # initialized — either way proceed with the current topology.
-        pass
+    except (ValueError, RuntimeError) as e:
+        # Distinguish "no cluster configured / already initialized" (benign:
+        # proceed single-process) from a REAL multi-host init failure
+        # (unreachable coordinator, bad process_id): silently degrading a
+        # pod job to N independent single-host runs would train garbage with
+        # no error. If the caller or environment explicitly requested a
+        # cluster, re-raise.
+        cluster_requested = coordinator_address is not None or any(
+            _os.environ.get(k)
+            for k in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES",
+            )
+        )
+        msg = str(e).lower()
+        benign = "already initialized" in msg or not cluster_requested
+        if not benign:
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for an explicitly "
+                f"configured cluster (coordinator="
+                f"{coordinator_address or 'env'}): {e}"
+            ) from e
 
 
 def global_mesh() -> "jax.sharding.Mesh":

@@ -241,7 +241,6 @@ class Trainer:
         eval_model = self.model
         if getattr(self.model, "dtype", jnp.float32) != jnp.float32:
             eval_model = self.model.clone(dtype=jnp.float32)
-        self._eval_model = eval_model
         self._eval_step = jax.jit(make_eval_step(eval_model, self.image_size))
 
     # ------------------------------------------------------------------
@@ -387,7 +386,9 @@ class Trainer:
             return g[i * per : (i + 1) * per]
         by_index = {}
         for s in arr.addressable_shards:
-            by_index.setdefault(s.index, s)
+            # hashable key: slice objects are unhashable before Python 3.12
+            key = tuple((sl.start, sl.stop, sl.step) for sl in s.index)
+            by_index.setdefault(key, s)
         shards = sorted(
             by_index.values(),
             key=lambda s: s.index[0].start if s.index[0].start is not None else 0,

@@ -193,3 +193,59 @@ class TestTrainerWithNativeLoader:
         trainer.train_one_epoch(0)
         err = trainer.test(0)
         assert _np.isfinite(err)
+
+
+class TestCorruptionSafety:
+    """Truncated/corrupt packed caches must fail loudly or repack — never
+    SIGBUS inside a worker memcpy (review r2b)."""
+
+    def _make_pack(self, tmp_path, name="s"):
+        src = str(tmp_path / f"{name}.h5")
+        write_synthetic_h5(src, n_frames=2, image_size=16)
+        return src, pack_hdf5(src, str(tmp_path / f"{name}.pack"), "xgaze", "bgr")
+
+    def test_is_valid_pack_detects_truncation(self, tmp_path):
+        import os
+
+        from rot_mvgaze_tpu.data.packed import expected_size, is_valid_pack
+
+        _, dst = self._make_pack(tmp_path)
+        assert is_valid_pack(dst)
+        assert os.path.getsize(dst) == expected_size(dst)
+        # truncate mid-image-stream: header intact, data missing
+        with open(dst, "r+b") as f:
+            f.truncate(os.path.getsize(dst) // 2)
+        assert not is_valid_pack(dst)
+
+    def test_pack_dataset_repacks_truncated_cache(self, tmp_path):
+        import os
+
+        from rot_mvgaze_tpu.data.packed import is_valid_pack, pack_dataset
+
+        src, _ = self._make_pack(tmp_path)
+        cache = str(tmp_path / "cache")
+        (p,) = pack_dataset(str(tmp_path), ["s.h5"], cache, "xgaze", "bgr")
+        with open(p, "r+b") as f:
+            f.truncate(os.path.getsize(p) // 2)
+        # mtime is fresh, but the file is invalid -> must repack
+        os.utime(p, None)
+        (p2,) = pack_dataset(str(tmp_path), ["s.h5"], cache, "xgaze", "bgr")
+        assert p2 == p and is_valid_pack(p2)
+
+    @needs_native
+    def test_native_pool_rejects_truncated_file(self, tmp_path):
+        import os
+
+        _, dst = self._make_pack(tmp_path)
+        with open(dst, "r+b") as f:
+            f.truncate(os.path.getsize(dst) // 2)
+        with pytest.raises(IOError):
+            NativePool([dst])
+
+    @needs_native
+    def test_native_pool_rejects_short_header(self, tmp_path):
+        bad = str(tmp_path / "bad.pack")
+        with open(bad, "wb") as f:
+            f.write(b"RMGPACK1XX")  # magic but no header
+        with pytest.raises(IOError):
+            NativePool([bad])
