@@ -259,3 +259,45 @@ def test_reset_calibration_zeroes_ranges(tmp_path):
     p.reset_calibration()
     assert all(float(a) == 0 for a in jax.tree.leaves(p.variables["quant"]))
     assert not p._calibrated
+
+
+def test_static_int8_predictor_on_mesh(tmp_path):
+    """Data-parallel serving + static-int8 calibration must compose: the
+    calibration pass updates quant state under the mesh and the frozen
+    executable serves sharded micro-batches."""
+    import jax
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device backend")
+    from rot_mvgaze_tpu.parallel.mesh import make_mesh
+    from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.train.checkpoints import save_state
+
+    model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    ck = str(tmp_path / "m.msgpack")
+    save_state(ck, dict(variables))
+
+    mesh = make_mesh()
+    p = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=8, image_size=SIZE,
+        dtype=jnp.float32, int8="static", mesh=mesh,
+    )
+    rng = np.random.default_rng(9)
+    req = (
+        rng.integers(0, 256, (10, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.integers(0, 256, (10, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.uniform(-0.5, 0.5, (10, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, (10, 2)).astype(np.float32),
+    )
+    first = p.predict(*req)   # calibration under the mesh
+    second = p.predict(*req)  # frozen static scales, sharded micro-batches
+    ref = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=8, image_size=SIZE,
+        dtype=jnp.float32,
+    ).predict(*req)
+    assert first.shape == second.shape == (10, 2)
+    assert np.max(np.abs(first - ref)) < 0.3
+    assert np.max(np.abs(second - ref)) < 0.3
