@@ -21,7 +21,7 @@ train step, the host ships 4x fewer bytes, and every op has static shapes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

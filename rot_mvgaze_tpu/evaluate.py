@@ -17,6 +17,43 @@ import numpy as np
 from rot_mvgaze_tpu.augment.ops import eval_preprocess
 from rot_mvgaze_tpu.geometry import angular_error_numpy, rotation_matrix_2d
 
+# jitted eval forwards keyed by (model, image_size, single_view): repeated
+# evaluate_gaze* calls (per-epoch evals, checkpoint sweeps) reuse one
+# compiled executable instead of retracing per call — recompiles are
+# multi-minute on a tunneled TPU. flax modules hash by their static config;
+# an unhashable custom model just skips the cache.
+_FORWARD_CACHE: Dict[Any, Any] = {}
+
+
+def _eval_forward(model: Any, image_size: int, single_view: bool):
+    try:
+        key = (model, image_size, single_view)
+        cached = _FORWARD_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except TypeError:
+        key = None
+
+    @jax.jit
+    def fwd(variables, batch):
+        data: Dict[str, Any] = {
+            "img_0": eval_preprocess(batch["img_0"], image_size)
+        }
+        if not single_view:
+            data["img_1"] = eval_preprocess(batch["img_1"], image_size)
+            data["rot_0"] = rotation_matrix_2d(
+                batch["head_pose_0"].astype(jnp.float32)
+            )
+            data["rot_1"] = rotation_matrix_2d(
+                batch["head_pose_1"].astype(jnp.float32)
+            )
+        out = model.apply(variables, data, train=False)
+        return out["pred_gaze"]
+
+    if key is not None:
+        _FORWARD_CACHE[key] = fwd
+    return fwd
+
 
 def evaluate_gaze(
     model: Any,
@@ -55,22 +92,10 @@ def evaluate_gaze_detailed(
 
     Each group value is ``{"error": mean_deg, "n": count}``.
     """
+    fwd = _eval_forward(model, image_size, single_view)
 
-    @jax.jit
     def step(batch):
-        data: Dict[str, Any] = {
-            "img_0": eval_preprocess(batch["img_0"], image_size)
-        }
-        if not single_view:
-            data["img_1"] = eval_preprocess(batch["img_1"], image_size)
-            data["rot_0"] = rotation_matrix_2d(
-                batch["head_pose_0"].astype(jnp.float32)
-            )
-            data["rot_1"] = rotation_matrix_2d(
-                batch["head_pose_1"].astype(jnp.float32)
-            )
-        out = model.apply(variables, data, train=False)
-        return out["pred_gaze"]
+        return fwd(variables, batch)
 
     from rot_mvgaze_tpu.utils.padding import pad_batch
 

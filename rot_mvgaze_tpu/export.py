@@ -60,9 +60,20 @@ def export_serving_artifact(
     not baked in); pass the checkpoint you intend to serve or a fresh
     ``model.init`` result of the same architecture.
     """
+    if "quant" in variables or getattr(model, "int8_backbone", False) == "static":
+        raise ValueError(
+            "static-int8 models cannot be exported: the calibrated `quant` "
+            "ranges are live-serving state that checkpoint loaders do not "
+            "reconstruct. Export the dynamic int8 graph (int8=True) or "
+            "bf16/f32 instead."
+        )
     fwd = jax.jit(make_serving_forward(model, image_size))
     var_avals = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        # .dtype/.shape attributes only — no host<->device copies of weights
+        lambda x: jax.ShapeDtypeStruct(
+            np.shape(x),
+            getattr(x, "dtype", None) or np.asarray(x).dtype,
+        ),
         variables,
     )
     exported = jax_export.export(fwd, platforms=platforms)(
@@ -147,22 +158,21 @@ class AotGazePredictor:
         head_pose_0: np.ndarray,
         head_pose_1: np.ndarray,
     ) -> np.ndarray:
-        from rot_mvgaze_tpu.utils.padding import pad_rows
+        from rot_mvgaze_tpu.utils.padding import iter_padded_microbatches
 
         n = int(img_0.shape[0])
         if n == 0:
             return np.zeros((0, 2), np.float32)
-        mb = self.micro_batch
         outs = []
-        for start in range(0, n, mb):
-            end = min(start + mb, n)
-            sl = slice(start, end)
+        for (i0, i1, h0, h1), bs in iter_padded_microbatches(
+            (img_0, img_1, head_pose_0, head_pose_1), self.micro_batch
+        ):
             pred = self._call(
                 self.variables,
-                pad_rows(np.asarray(img_0[sl]), mb),
-                pad_rows(np.asarray(img_1[sl]), mb),
-                pad_rows(np.asarray(head_pose_0[sl], np.float32), mb),
-                pad_rows(np.asarray(head_pose_1[sl], np.float32), mb),
+                i0,
+                i1,
+                h0.astype(np.float32),
+                h1.astype(np.float32),
             )
-            outs.append(np.asarray(pred)[: end - start])
+            outs.append(np.asarray(pred)[:bs])
         return np.concatenate(outs, axis=0)

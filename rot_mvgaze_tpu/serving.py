@@ -216,35 +216,25 @@ class GazePredictor:
         head_pose_1: np.ndarray,
         force_calib: bool = False,
     ) -> np.ndarray:
-        n = img_0.shape[0]
+        from rot_mvgaze_tpu.utils.padding import iter_padded_microbatches
+
         use_calib = force_calib
-        mb = self.micro_batch
         outs = []
-        for start in range(0, n, mb):
-            end = min(start + mb, n)
-            sl = slice(start, end)
-
-            def prep(x):
-                from rot_mvgaze_tpu.utils.padding import pad_rows
-
-                x = pad_rows(np.asarray(x[sl]), mb)
-                if self._batch_sharding is not None:
-                    x = jax.device_put(x, self._batch_sharding)
-                return x
-
-            args = (
-                prep(img_0),
-                prep(img_1),
-                prep(head_pose_0).astype(np.float32),
-                prep(head_pose_1).astype(np.float32),
-            )
+        for (i0, i1, h0, h1), bs in iter_padded_microbatches(
+            (img_0, img_1, head_pose_0, head_pose_1), self.micro_batch
+        ):
+            args = (i0, i1, h0.astype(np.float32), h1.astype(np.float32))
+            if self._batch_sharding is not None:
+                args = tuple(
+                    jax.device_put(a, self._batch_sharding) for a in args
+                )
             if use_calib:
                 with self._calib_lock:
                     pred, quant = self._calib(self.variables, *args)
                     self.variables = {**self.variables, "quant": quant}
             else:
                 pred = self._forward(self.variables, *args)
-            outs.append(np.asarray(pred)[: end - start])
+            outs.append(np.asarray(pred)[:bs])
         if use_calib:
             with self._calib_lock:
                 self._calibrated = True
@@ -377,13 +367,15 @@ class BatchingPredictor:
                     if remaining <= 0:
                         break
                     self._cv.wait(timeout=remaining)
-                # coalesce only shape-compatible requests (same H, W): the
-                # rest stay queued for the next dispatch round
-                shape = self._queue[0][0]["img_0"].shape[1:]
-                batch = [r for r in self._queue if r[0]["img_0"].shape[1:] == shape]
-                self._queue = [
-                    r for r in self._queue if r[0]["img_0"].shape[1:] != shape
-                ]
+                # coalesce only shape-compatible requests (BOTH views' H, W
+                # — an img_1 mismatch would poison the shared concatenate):
+                # the rest stay queued for the next dispatch round
+                def shape_key(r):
+                    return (r[0]["img_0"].shape[1:], r[0]["img_1"].shape[1:])
+
+                key = shape_key(self._queue[0])
+                batch = [r for r in self._queue if shape_key(r) == key]
+                self._queue = [r for r in self._queue if shape_key(r) != key]
             try:
                 pred = self.predictor.predict(
                     np.concatenate([r[0]["img_0"] for r in batch]),

@@ -198,7 +198,8 @@ def make_image_grid(images: np.ndarray, nrow: int = 4, pad: int = 2) -> np.ndarr
     images = (images - lo) / max(hi - lo, 1e-6)
     n, h, w, c = images.shape
     ncol = (n + nrow - 1) // nrow
-    grid = np.ones((ncol * (h + pad) + pad, nrow * (w + pad) + pad, c), np.float32)
+    # black padding (torchvision make_grid pad_value=0)
+    grid = np.zeros((ncol * (h + pad) + pad, nrow * (w + pad) + pad, c), np.float32)
     for i in range(n):
         r, col = divmod(i, nrow)
         y0 = r * (h + pad) + pad

@@ -22,6 +22,24 @@ def pad_rows(x: np.ndarray, target: int) -> np.ndarray:
     return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
 
 
+def iter_padded_microbatches(arrays, micro_batch: int):
+    """Slice N-row arrays into fixed-size micro-batches, padding the last.
+
+    Yields ``(padded_slices_tuple, real_rows)`` per micro-batch — the ONE
+    implementation of the serving pad/trim protocol (GazePredictor and
+    AotGazePredictor)."""
+    n = int(np.asarray(arrays[0]).shape[0])
+    for start in range(0, n, micro_batch):
+        end = min(start + micro_batch, n)
+        yield (
+            tuple(
+                pad_rows(np.asarray(a[start:end]), micro_batch)
+                for a in arrays
+            ),
+            end - start,
+        )
+
+
 def pad_batch(batch: Dict[str, Any], target: int) -> Dict[str, Any]:
     """Pad every array-valued entry of a batch dict to ``target`` rows
     (non-arrays and scalars pass through)."""

@@ -120,3 +120,24 @@ def test_aot_predictor_torch_checkpoint_via_sidecar(tmp_path, small_model_and_va
     os.rename(artifact + ".json", artifact + ".json.bak")
     with pytest.raises(FileNotFoundError):
         AotGazePredictor(artifact, pth)
+
+
+def test_static_int8_export_rejected(tmp_path, small_model_and_vars):
+    """Static-int8 calibration state is live-serving-only; exporting it
+    would produce an unloadable artifact — must fail loudly."""
+    _, variables = small_model_and_vars
+    model = FeatRotationSymm(
+        backbone_depth=18, num_iter=2, int8_backbone="static"
+    )
+    with pytest.raises(ValueError, match="static-int8"):
+        export_serving_artifact(
+            model, dict(variables), str(tmp_path / "x.stablehlo"),
+            micro_batch=MB, image_size=SIZE,
+        )
+    # the quant collection itself also trips the guard
+    with pytest.raises(ValueError, match="static-int8"):
+        export_serving_artifact(
+            FeatRotationSymm(backbone_depth=18, num_iter=2),
+            {**variables, "quant": {}},
+            str(tmp_path / "y.stablehlo"), micro_batch=MB, image_size=SIZE,
+        )
