@@ -71,12 +71,17 @@ class GazeDataset:
         # Lazy per-thread archive handles (SWMR lets concurrent readers share
         # the files, mirroring /root/reference/dataset/gaze.py:54-56,99-103).
         self._local = threading.local()
+        # every thread's handles, for close(): threading.local hides other
+        # threads' attributes from the closing thread
+        self._open_handles: List["h5py.File"] = []
+        self._handles_lock = threading.Lock()
 
     def _archives(self) -> List["h5py.File"]:
         if not hasattr(self._local, "archives"):
-            self._local.archives = [
-                h5py.File(p, "r", swmr=True) for p in self.file_paths
-            ]
+            handles = [h5py.File(p, "r", swmr=True) for p in self.file_paths]
+            self._local.archives = handles
+            with self._handles_lock:
+                self._open_handles.extend(handles)
         return self._local.archives
 
     def __len__(self) -> int:
@@ -116,7 +121,15 @@ class GazeDataset:
         return data
 
     def close(self) -> None:
-        if hasattr(self._local, "archives"):
-            for f in self._local.archives:
+        """Close EVERY thread's lazily opened handles (reader threads park
+        theirs in a shared registry; h5py file closes are thread-safe under
+        its global lock)."""
+        with self._handles_lock:
+            handles, self._open_handles = self._open_handles, []
+        for f in handles:
+            try:
                 f.close()
+            except Exception:
+                pass
+        if hasattr(self._local, "archives"):
             del self._local.archives

@@ -49,8 +49,9 @@ def gaze_angular_loss(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def gaze_l2_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
-    """Mean squared error over pitchyaw (/root/reference/losses/gaze_loss.py:56-59)."""
-    return jnp.mean(jnp.square(jnp.abs(y - y_hat)))
+    """Mean squared error over pitchyaw (/root/reference/losses/gaze_loss.py:56-59
+    computes abs-then-square; square(d) is identical and one pass cheaper)."""
+    return jnp.mean(jnp.square(y - y_hat))
 
 
 def gaze_l1_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:

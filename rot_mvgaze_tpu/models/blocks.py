@@ -22,7 +22,11 @@ def torch_linear_init(fan_in: int) -> tuple[Initializer, Initializer]:
     """Uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) kernel+bias initializers.
 
     Matches torch.nn.Linear's default init so training-from-scratch dynamics
-    track the reference.
+    track the reference. torch's Conv2d/ConvTranspose2d defaults
+    (``kaiming_uniform_(a=sqrt(5))`` + uniform bias) reduce to the SAME
+    bound with the conv fan-in (``k*k*in_ch``; transpose: ``k*k*out_ch`` —
+    torch computes fan-in from weight dim 1), so the conv builders below
+    reuse this with the appropriate fan_in.
     """
     bound = 1.0 / np.sqrt(fan_in)
 
@@ -101,6 +105,7 @@ class Conv2dNet(nn.Module):
             k = self.kernels[i]
             s = self.strides[i] if self.strides is not None else 1
             p = self.paddings[i] if self.paddings is not None else 0
+            kinit, binit = torch_linear_init(k * k * x.shape[-1])
             x = nn.Conv(
                 feat,
                 kernel_size=(k, k),
@@ -108,6 +113,8 @@ class Conv2dNet(nn.Module):
                 padding=[(p, p), (p, p)],
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                kernel_init=kinit,
+                bias_init=binit,
                 name=f"conv_{i}",
             )(x)
             if i < num_layers - 1:
@@ -127,6 +134,10 @@ class Conv2dTransposeNet(nn.Module):
     """Stacked ConvTranspose+BN+LeakyReLU blocks, last layer bare (NHWC).
 
     Parity with /root/reference/models/backbones/blocks.py:108-126.
+    ``paddings`` follow TORCH ConvTranspose2d semantics (output size
+    ``(in-1)*s - 2p + k``); flax's explicit transpose padding differs, so
+    torch ``p`` maps to flax ``k-1-p`` with ``transpose_kernel=True``
+    (verified numerically against torch — both shape and values).
     """
 
     features: Sequence[int]
@@ -143,13 +154,18 @@ class Conv2dTransposeNet(nn.Module):
             k = self.kernels[i]
             s = self.strides[i] if self.strides is not None else 1
             p = self.paddings[i] if self.paddings is not None else 0
+            # torch ConvTranspose fan-in is weight dim 1 * k * k = out*k*k
+            kinit, binit = torch_linear_init(k * k * feat)
             x = nn.ConvTranspose(
                 feat,
                 kernel_size=(k, k),
                 strides=(s, s),
-                padding=[(p, p), (p, p)],
+                padding=[(k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)],
+                transpose_kernel=True,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                kernel_init=kinit,
+                bias_init=binit,
                 name=f"convt_{i}",
             )(x)
             if i < num_layers - 1:
@@ -168,10 +184,18 @@ class Conv2dTransposeNet(nn.Module):
 def weight_copy(params_dst, params_src):
     """Copy parameters across matching pytrees (parity with the torch helper
     at /root/reference/models/backbones/blocks.py:129-132 — in JAX params are
-    immutable pytrees, so this is a structure-checked functional copy)."""
+    immutable pytrees, so this is a structure-, shape- and dtype-checked
+    functional copy)."""
     import jax
 
-    jax.tree.structure(params_dst)  # raises if dst malformed
     if jax.tree.structure(params_dst) != jax.tree.structure(params_src):
         raise ValueError("parameter tree structures differ")
-    return jax.tree.map(lambda _, s: s, params_dst, params_src)
+
+    def check_copy(d, s):
+        if jnp.shape(d) != jnp.shape(s):
+            raise ValueError(
+                f"leaf shape mismatch: dst {jnp.shape(d)} vs src {jnp.shape(s)}"
+            )
+        return s
+
+    return jax.tree.map(check_copy, params_dst, params_src)

@@ -168,6 +168,13 @@ class ConvBN(nn.Module):
                 name=self.conv_name,
             )(x)
         if self.use_pallas_bn:
+            if self.bn_axis_name is not None:
+                raise ValueError(
+                    "use_pallas_bn has no cross-replica batch-stat sync: "
+                    "under data parallelism (bn_axis_name set) each replica "
+                    "would silently train on per-shard statistics. Use the "
+                    "default TorchBatchNorm path for multi-device training."
+                )
             from rot_mvgaze_tpu.models.norm import PallasBatchNormAct
 
             return PallasBatchNormAct(
@@ -332,6 +339,11 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.use_pallas_bn and self.bn_axis_name is not None:
+            raise ValueError(
+                "use_pallas_bn has no cross-replica batch-stat sync; "
+                "use the default BN path under data parallelism"
+            )
         x = x.astype(self.dtype)
         if self.int8 and not train:
             x = QuantConv(

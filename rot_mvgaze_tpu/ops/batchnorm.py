@@ -269,7 +269,7 @@ def _fwd_vjp(x, scale, bias, residual, eps, relu):
 
 
 def _bwd_vjp(eps, relu, res, cotangents):
-    g, _gmean, _gvar = cotangents  # stat cotangents: running-update side
+    g, gmean, gvar = cotangents
     x, scale, y, mean, rstd, has_res = res
     c = x.shape[-1]
     n = x.size // c
@@ -285,6 +285,14 @@ def _bwd_vjp(eps, relu, res, cotangents):
     dx = _bwd_dx(
         g2, y2, x2, mean, rstd, scale_rstd, sg / n, sgx / n, relu
     ).reshape(x.shape)
+    # Cotangents of the returned batch statistics (consumers normally
+    # stop_gradient these for the running-stat update — PallasBatchNormAct
+    # does — but the public op must be correct for ANY consumer):
+    #   d(mean_c)/dx_ic = 1/n ;  d(var_c)/dx_ic = 2 (x_ic - mean_c) / n
+    gm = jnp.asarray(gmean, jnp.float32).reshape(1, c)
+    gv = jnp.asarray(gvar, jnp.float32).reshape(1, c)
+    dx_stats = (gm + gv * 2.0 * (x2.astype(jnp.float32) - mean)) / n
+    dx = dx + dx_stats.reshape(x.shape).astype(dx.dtype)
     if not has_res:
         dres = None
     elif relu:

@@ -198,4 +198,4 @@ def fused_image_feat_fuser(
         rot = jnp.concatenate([rot, eye], axis=0)
     h = rotate_concat_matmul_relu(img_feat, rot_feat, rot, w1, b1)
     out = h @ w2 + b2
-    return out[:b] if pad else out[:b]
+    return out[:b]

@@ -18,5 +18,8 @@ def set_seed(seed: int = 0) -> "jax.Array":  # noqa: F821
 
     random.seed(seed)
     np.random.seed(seed)
+    # NOTE: affects SUBPROCESSES only — the running interpreter's str-hash
+    # salt is fixed at startup (same limitation as the reference's
+    # /root/reference/utils/util.py:15; kept for worker determinism).
     os.environ["PYTHONHASHSEED"] = str(seed)
     return jax.random.PRNGKey(seed)

@@ -218,3 +218,70 @@ class TestExtendedBackboneFamily:
             backbone_depth=depth, num_iter=1,
         )
         assert any(k.startswith("_feat_extractor.0.layer4") for k in sd)
+
+
+class TestConvTransposeTorchParity:
+    def test_transpose_conv_matches_torch(self):
+        """Conv2dTransposeNet must reproduce torch ConvTranspose2d(k,s,p)
+        exactly (shape AND values): torch p maps to flax pad k-1-p with
+        transpose_kernel=True."""
+        import torch
+
+        from rot_mvgaze_tpu.models.blocks import Conv2dTransposeNet
+
+        rng = np.random.default_rng(0)
+        IN, OUT, K, S, P = 2, 3, 4, 2, 1
+        x = rng.standard_normal((1, 5, 5, IN)).astype(np.float32)
+        tw = rng.standard_normal((IN, OUT, K, K)).astype(np.float32)
+        tb = rng.standard_normal((OUT,)).astype(np.float32)
+
+        tm = torch.nn.ConvTranspose2d(IN, OUT, K, stride=S, padding=P)
+        with torch.no_grad():
+            tm.weight.copy_(torch.from_numpy(tw))
+            tm.bias.copy_(torch.from_numpy(tb))
+        ref = (
+            tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            .detach().numpy().transpose(0, 2, 3, 1)
+        )
+
+        net = Conv2dTransposeNet(
+            features=[OUT], kernels=[K], strides=[S], paddings=[P]
+        )
+        params = {
+            "convt_0": {
+                # flax transpose_kernel layout (k,k,out,in)
+                "kernel": jnp.asarray(tw.transpose(2, 3, 1, 0).copy()),
+                "bias": jnp.asarray(tb),
+            }
+        }
+        out = net.apply({"params": params}, jnp.asarray(x))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+class TestWeightCopyShapes:
+    def test_shape_mismatch_raises(self):
+        from rot_mvgaze_tpu.models.blocks import weight_copy
+
+        dst = {"a": jnp.zeros((2, 3))}
+        src_ok = {"a": jnp.ones((2, 3))}
+        src_bad = {"a": jnp.ones((2, 4))}  # same structure, different shape
+        out = weight_copy(dst, src_ok)
+        np.testing.assert_array_equal(np.asarray(out["a"]), 1.0)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            weight_copy(dst, src_bad)
+        with pytest.raises(ValueError, match="structures differ"):
+            weight_copy(dst, {"b": jnp.ones((2, 3))})
+
+
+class TestPallasBnDpGuard:
+    def test_pallas_bn_with_axis_name_rejected(self):
+        from rot_mvgaze_tpu.models.resnet import resnet18
+
+        model = resnet18(use_pallas_bn=True, bn_axis_name="data")
+        with pytest.raises(ValueError, match="cross-replica"):
+            model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, 32, 32, 3)),
+                train=True,
+            )

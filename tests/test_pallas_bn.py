@@ -177,3 +177,29 @@ class TestResNetPallasBN:
         np.testing.assert_allclose(
             out_pal["pred_gaze"], out_ref["pred_gaze"], atol=1e-4, rtol=1e-4
         )
+
+
+def test_stat_cotangents_not_discarded():
+    """Differentiating through the RETURNED batch mean/var must give the
+    true gradient (review r2b: the bwd used to silently drop them)."""
+    from rot_mvgaze_tpu.ops.batchnorm import fused_batchnorm_act
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 3)), jnp.float32)
+    scale = jnp.ones((3,), jnp.float32)
+    bias = jnp.zeros((3,), jnp.float32)
+
+    def loss_via_stats(x):
+        _, mean, var = fused_batchnorm_act(x, scale, bias, None, 1e-5, False)
+        return jnp.sum(mean * 3.0) + jnp.sum(var * 0.5)
+
+    def loss_ref(x):
+        c = x.shape[-1]
+        x2 = x.reshape(-1, c)
+        mean = jnp.mean(x2, axis=0)
+        var = jnp.mean(jnp.square(x2), axis=0) - mean * mean
+        return jnp.sum(mean * 3.0) + jnp.sum(var * 0.5)
+
+    g = jax.grad(loss_via_stats)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
