@@ -41,12 +41,9 @@ def main() -> None:
 
     # Persistent compile cache: the tunnel-compiled train step is large
     # (~minutes); cache hits make repeat benches near-instant.
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_comp")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from rot_mvgaze_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
     import numpy as np

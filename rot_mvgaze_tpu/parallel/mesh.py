@@ -39,7 +39,10 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, replicated_sharding(mesh))
-        return jax.device_put(x, bs)
+        # put_sharded handles multi-process meshes (local-shard assembly via
+        # make_array_from_process_local_data); plain device_put would raise
+        # on a sharding that spans non-addressable devices.
+        return put_sharded(x, bs)
 
     return jax.tree.map(put, batch)
 

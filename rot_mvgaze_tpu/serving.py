@@ -261,6 +261,32 @@ class GazePredictor:
         )
         return out
 
+    def warmup(self) -> None:
+        """Compile every executable this predictor will use, with throwaway
+        noise inputs, WITHOUT polluting calibration state.
+
+        bf16/dynamic-int8: compiles the single serving executable.
+        static-int8: compiles the calibration pass AND the frozen
+        static-scale executable, then discards the noise-derived activation
+        ranges (they are a running max — they would otherwise inflate the
+        scales for the life of the process). The first real request (or an
+        explicit :meth:`calibrate`) then calibrates from scratch.
+        """
+        rng = np.random.default_rng(0)
+        s = self.image_size
+        noise = (
+            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
+            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
+            np.zeros((1, 2), np.float32),
+            np.zeros((1, 2), np.float32),
+        )
+        if self._int8_static:
+            self._predict(*noise, force_calib=True)   # calibration graph
+            self._predict(*noise, force_calib=False)  # frozen graph
+            self.reset_calibration()
+        else:
+            self.predict(*noise)
+
     def reset_calibration(self) -> None:
         """static-int8: zero the recorded activation ranges (e.g. after a
         warmup on non-representative data) so the next request — or an

@@ -48,7 +48,16 @@ def _build_table() -> None:
 _build_table()
 
 
+try:  # C implementation when available (image payloads are 100s of KB;
+    # the pure-Python loop costs tens of ms per record on the train loop)
+    import google_crc32c as _gcrc32c
+except ImportError:  # pragma: no cover - environment-dependent
+    _gcrc32c = None
+
+
 def crc32c(data: bytes) -> int:
+    if _gcrc32c is not None:
+        return int(_gcrc32c.value(bytes(data)))
     crc = 0xFFFFFFFF
     for b in data:
         crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)

@@ -30,11 +30,9 @@ def main() -> int:
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_comp"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from rot_mvgaze_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
     import numpy as np

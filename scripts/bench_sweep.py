@@ -2,7 +2,11 @@
 """Throughput lever sweep on the real chip (docs/PERF.md methodology).
 
 Variants isolate where the train-step time goes and measure each candidate
-lever end-to-end (jitted, donated, block_until_ready-fenced):
+lever end-to-end. Measurement honesty (docs/PERF.md notes): the tunneled
+backend short-circuits repeated identical dispatches and its
+block_until_ready is not a reliable fence, so every variant either donates
+an evolving carry (full/noaug) or chains each call's input on the previous
+call's output with a host-readback fence (augonly/bf16aug/fwdonly):
 
   full       the shipped bench.py step (augment + fwd + loss + bwd + adam)
   noaug      pre-augmented f32 inputs; fwd+loss+bwd+adam only
@@ -33,9 +37,9 @@ def main() -> int:
 
     import jax
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_comp")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from rot_mvgaze_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
     import numpy as np
@@ -143,12 +147,23 @@ def main() -> int:
             jax.block_until_ready(s.params)
             dt = (time.perf_counter() - t0) / args.steps
         elif v == "augonly":
-            aug = jax.jit(lambda k, b: augment_views(k, b, size))
-            out = jax.block_until_ready(aug(key, dev))
+            # chain: a data-dependent uint8 salt perturbs the next input
+            @jax.jit
+            def aug_chain(k, b, salt):
+                b2 = {**b, "img_0": b["img_0"] + salt}
+                out = augment_views(k, b2, size)
+                new_salt = (
+                    jnp.abs(out["img_0"].astype(jnp.float32).sum()) % 251
+                ).astype(jnp.uint8)
+                return out, new_salt
+
+            salt = jnp.uint8(0)
+            out, salt = aug_chain(key, dev, salt)
+            np.asarray(jax.device_get(salt))
             t0 = time.perf_counter()
             for i in range(args.steps):
-                out = aug(jax.random.fold_in(key, i), dev)
-            jax.block_until_ready(out)
+                out, salt = aug_chain(jax.random.fold_in(key, i), dev, salt)
+            np.asarray(jax.device_get(salt))
             dt = (time.perf_counter() - t0) / args.steps
         elif v == "bf16aug":
             from rot_mvgaze_tpu.augment import ops as A
@@ -165,24 +180,41 @@ def main() -> int:
                     )(keys, b[view])
                 return o
 
-            aug = jax.jit(aug_bf16)
-            out = jax.block_until_ready(aug(key, dev))
+            @jax.jit
+            def aug_bf16_chain(k, b, salt):
+                out = aug_bf16(k, {**b, "img_0": b["img_0"] + salt})
+                new_salt = (
+                    jnp.abs(out["img_0"].astype(jnp.float32).sum()) % 251
+                ).astype(jnp.uint8)
+                return out, new_salt
+
+            salt = jnp.uint8(0)
+            out, salt = aug_bf16_chain(key, dev, salt)
+            np.asarray(jax.device_get(salt))
             t0 = time.perf_counter()
             for i in range(args.steps):
-                out = aug(jax.random.fold_in(key, i), dev)
-            jax.block_until_ready(out)
+                out, salt = aug_bf16_chain(jax.random.fold_in(key, i), dev, salt)
+            np.asarray(jax.device_get(salt))
             dt = (time.perf_counter() - t0) / args.steps
         elif v == "fwdonly":
             from rot_mvgaze_tpu.train.steps import make_eval_step
 
-            step = jax.jit(make_eval_step(model, size))
-            out = jax.block_until_ready(
-                step(variables["params"], variables["batch_stats"], dev)
-            )
+            inner = make_eval_step(model, size)
+
+            @jax.jit
+            def fwd_chain(params, stats, b, prev):
+                b2 = {**b, "head_pose_0": b["head_pose_0"] + 0.01 * jnp.tanh(prev)}
+                return inner(params, stats, b2)["pred_gaze"]
+
+            prev = jnp.zeros((batch, 2), jnp.float32)
+            prev = fwd_chain(variables["params"], variables["batch_stats"], dev, prev)
+            np.asarray(jax.device_get(prev[:1]))
             t0 = time.perf_counter()
             for i in range(args.steps):
-                out = step(variables["params"], variables["batch_stats"], dev)
-            jax.block_until_ready(out)
+                prev = fwd_chain(
+                    variables["params"], variables["batch_stats"], dev, prev
+                )
+            np.asarray(jax.device_get(prev[:1]))
             dt = (time.perf_counter() - t0) / args.steps
         else:
             raise SystemExit(f"unknown variant {v}")

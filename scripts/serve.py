@@ -134,6 +134,11 @@ def main() -> int:
     import jax.numpy as jnp
 
     from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.utils.cache import enable_compile_cache
+
+    # persistent executable cache: server restarts skip the multi-minute
+    # tunnel compile entirely
+    enable_compile_cache()
 
     mesh = None
     if args.dp and jax.device_count() > 1:
@@ -152,27 +157,9 @@ def main() -> int:
         int8="static" if args.int8_static else args.int8,
         mesh=mesh,
     )
-    # warm the executable so the first request is fast
-    s = args.image_size
-    rng = np.random.default_rng(0)
-    predictor.predict(
-        rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
-        rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
-        np.zeros((1, 2), np.float32),
-        np.zeros((1, 2), np.float32),
-    )
-    if args.int8_static:
-        # pre-compile the frozen (static-scale) executable too, then DISCARD
-        # the noise-image calibration entirely — act ranges are a running
-        # max, so noise statistics would otherwise pollute them for the life
-        # of the server. The first real request calibrates from scratch.
-        predictor.predict(
-            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
-            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
-            np.zeros((1, 2), np.float32),
-            np.zeros((1, 2), np.float32),
-        )
-        predictor.reset_calibration()
+    # compile every executable before accepting traffic (static-int8: both
+    # the calibration and frozen graphs, noise calibration discarded)
+    predictor.warmup()
     from rot_mvgaze_tpu.serving import BatchingPredictor
 
     predictor = BatchingPredictor(predictor, max_delay_ms=args.coalesce_ms)

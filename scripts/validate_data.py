@@ -56,6 +56,9 @@ def validate(root: str, dataset: str, strict: bool = False) -> int:
                     errors.append(f"{name}: missing datasets {missing}")
                     continue
                 img, gaze, pose = (f[k] for k in REQUIRED)
+                if img.ndim == 0 or img.shape[0] == 0:
+                    errors.append(f"{name}: face_patch is empty")
+                    continue
                 n = img.shape[0]
                 total += n
                 if gaze.shape != (n, 2) or pose.shape != (n, 2):
@@ -89,7 +92,9 @@ def validate(root: str, dataset: str, strict: bool = False) -> int:
                 g = np.asarray(gaze)
                 p = np.asarray(pose)
                 for lbl, arr in (("face_gaze", g), ("face_head_pose", p)):
-                    if not np.isfinite(arr).all():
+                    if arr.size == 0:
+                        errors.append(f"{name}: {lbl} is empty")
+                    elif not np.isfinite(arr).all():
                         errors.append(f"{name}: non-finite values in {lbl}")
                     elif np.abs(arr).max() > np.pi:
                         warnings.append(

@@ -301,3 +301,27 @@ def test_static_int8_predictor_on_mesh(tmp_path):
     assert first.shape == second.shape == (10, 2)
     assert np.max(np.abs(first - ref)) < 0.3
     assert np.max(np.abs(second - ref)) < 0.3
+
+
+def test_warmup_compiles_without_polluting_calibration(tmp_path):
+    from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.train.checkpoints import save_state
+
+    model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    ck = str(tmp_path / "m.msgpack")
+    save_state(ck, dict(variables))
+    p = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=2, image_size=SIZE,
+        dtype=jnp.float32, int8="static",
+    )
+    p.warmup()
+    # both executables compiled, but ranges discarded and gate reopened
+    assert not p._calibrated
+    assert all(float(a) == 0 for a in jax.tree.leaves(p.variables["quant"]))
+    # plain-mode warmup also works
+    p2 = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=2, image_size=SIZE,
+        dtype=jnp.float32,
+    )
+    p2.warmup()
