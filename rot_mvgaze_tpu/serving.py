@@ -16,6 +16,7 @@ provides a compiled, fixed-shape predictor:
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Any, Dict, List, Tuple
@@ -118,6 +119,7 @@ class GazePredictor:
         dtype: Any = jnp.bfloat16,
         use_pallas_fusion: bool = False,
         int8: bool = False,
+        calibration_path: "str | None" = None,
         mesh: Any = None,
     ) -> None:
         self.model = FeatRotationSymm(
@@ -169,6 +171,15 @@ class GazePredictor:
             self._calib = jax.jit(
                 make_calibration_forward(self.model, self.image_size)
             )
+            # Persistable calibration: load previously saved activation
+            # ranges if the file exists; otherwise auto-save there once the
+            # first calibration completes (a restarted server then skips
+            # the calibration pass entirely).
+            self._calibration_path = calibration_path
+            if calibration_path is not None and os.path.exists(
+                calibration_path
+            ):
+                self.load_calibration(calibration_path)
         if mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import (
                 batch_sharding,
@@ -203,10 +214,15 @@ class GazePredictor:
         n = img_0.shape[0]
         if n == 0:
             return np.zeros((0, 2), np.float32)
-        return self._predict(
-            img_0, img_1, head_pose_0, head_pose_1,
-            force_calib=self._int8_static and not self._calibrated,
+        ran_calib = self._int8_static and not self._calibrated
+        out = self._predict(
+            img_0, img_1, head_pose_0, head_pose_1, force_calib=ran_calib
         )
+        # persist REAL-data calibration only (warmup noise calibration goes
+        # through _predict directly and is never saved)
+        if ran_calib and getattr(self, "_calibration_path", None) is not None:
+            self.save_calibration(self._calibration_path)
+        return out
 
     def _predict(
         self,
@@ -259,6 +275,8 @@ class GazePredictor:
         out = self._predict(
             img_0, img_1, head_pose_0, head_pose_1, force_calib=True
         )
+        if getattr(self, "_calibration_path", None) is not None:
+            self.save_calibration(self._calibration_path)
         return out
 
     def warmup(self) -> None:
@@ -280,12 +298,45 @@ class GazePredictor:
             np.zeros((1, 2), np.float32),
             np.zeros((1, 2), np.float32),
         )
-        if self._int8_static:
+        if self._int8_static and not self._calibrated:
             self._predict(*noise, force_calib=True)   # calibration graph
             self._predict(*noise, force_calib=False)  # frozen graph
             self.reset_calibration()
         else:
+            # already calibrated (e.g. ranges loaded from calibration_path):
+            # compile the frozen executable only, ranges untouched
             self.predict(*noise)
+
+    def save_calibration(self, path: str) -> str:
+        """static-int8: persist the recorded activation ranges (msgpack) so
+        a restarted server can skip calibration (``calibration_path=``)."""
+        if not self._int8_static:
+            raise RuntimeError("save_calibration() requires int8='static'")
+        from rot_mvgaze_tpu.train.checkpoints import save_state
+
+        return save_state(path, {"quant": self.variables["quant"]})
+
+    def load_calibration(self, path: str) -> None:
+        """static-int8: restore activation ranges saved by
+        :meth:`save_calibration`; the predictor starts frozen (no
+        calibration pass on the first request)."""
+        if not self._int8_static:
+            raise RuntimeError("load_calibration() requires int8='static'")
+        from rot_mvgaze_tpu.train.checkpoints import restore_tree
+
+        tree = restore_tree(path)
+        if "quant" not in tree:
+            raise ValueError(f"{path} is not a calibration file (no 'quant')")
+        quant = jax.tree.map(jnp.asarray, tree["quant"])
+        if jax.tree.structure(quant) != jax.tree.structure(
+            self.variables["quant"]
+        ):
+            raise ValueError(
+                f"calibration at {path} does not match this architecture"
+            )
+        with self._calib_lock:
+            self.variables = {**self.variables, "quant": quant}
+            self._calibrated = True
 
     def reset_calibration(self) -> None:
         """static-int8: zero the recorded activation ranges (e.g. after a

@@ -122,6 +122,10 @@ def main() -> int:
     p.add_argument("--int8_static", action="store_true",
                    help="int8 with CALIBRATED activation scales (1.24x bf16 "
                         "on v5e; auto-calibrates on the first request)")
+    p.add_argument("--calibration", default=None,
+                   help="with --int8_static: path to persist/restore the "
+                        "calibrated activation ranges (loaded if present, "
+                        "auto-saved after the first calibration)")
     p.add_argument("--dp", action="store_true",
                    help="shard each micro-batch over ALL visible chips "
                         "(data-parallel serving; params replicated)")
@@ -155,6 +159,7 @@ def main() -> int:
         image_size=args.image_size,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         int8="static" if args.int8_static else args.int8,
+        calibration_path=args.calibration,
         mesh=mesh,
     )
     # compile every executable before accepting traffic (static-int8: both

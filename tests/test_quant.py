@@ -325,3 +325,57 @@ def test_warmup_compiles_without_polluting_calibration(tmp_path):
         dtype=jnp.float32,
     )
     p2.warmup()
+
+
+def test_calibration_persistence_round_trip(tmp_path):
+    from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.train.checkpoints import save_state
+
+    model = FeatRotationSymm(backbone_depth=18, num_iter=2)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    ck = str(tmp_path / "m.msgpack")
+    save_state(ck, dict(variables))
+    cal = str(tmp_path / "ranges.msgpack")
+
+    rng = np.random.default_rng(10)
+    req = (
+        rng.integers(0, 256, (4, SIZE, SIZE, 3), dtype=np.uint8),
+        rng.integers(0, 256, (4, SIZE, SIZE, 3), dtype=np.uint8),
+        np.zeros((4, 2), np.float32),
+        np.zeros((4, 2), np.float32),
+    )
+
+    import os
+
+    p1 = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=4, image_size=SIZE,
+        dtype=jnp.float32, int8="static", calibration_path=cal,
+    )
+    # warmup must NOT write noise ranges to the file
+    p1.warmup()
+    assert not os.path.exists(cal)
+    p1.predict(*req)  # real-data calibration -> auto-saved
+    assert os.path.exists(cal)
+    frozen1 = p1.predict(*req)
+
+    # restart: ranges load, no calibration pass, identical frozen output
+    p2 = GazePredictor(
+        ck, backbone_depth=18, num_iter=2, micro_batch=4, image_size=SIZE,
+        dtype=jnp.float32, int8="static", calibration_path=cal,
+    )
+    assert p2._calibrated
+    np.testing.assert_array_equal(p2.predict(*req), frozen1)
+
+    # wrong architecture rejected
+    other = FeatRotationSymm(backbone_depth=50, num_iter=1)
+    ck50 = str(tmp_path / "m50.msgpack")
+    v50 = other.init({"params": jax.random.PRNGKey(0)}, _init_data())
+    save_state(ck50, dict(v50))
+    import pytest
+
+    p3 = GazePredictor(
+        ck50, backbone_depth=50, num_iter=1, micro_batch=4, image_size=SIZE,
+        dtype=jnp.float32, int8="static",
+    )
+    with pytest.raises(ValueError, match="architecture"):
+        p3.load_calibration(cal)
