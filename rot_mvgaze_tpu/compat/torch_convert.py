@@ -179,7 +179,16 @@ def convert_rot_mv_state_dict(
     """
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
+    first_key = {
+        "conv": ".weight", "linear": ".weight",
+        "bn": ".weight", "intensity_bn": ".running_mean",
+    }
     for e in rot_mv_entries(**config):
+        if e.alias_of and f"{e.torch_key}{first_key[e.kind]}" not in state_dict:
+            # share_weights duplicate whose keys were deduplicated out of
+            # the checkpoint (e.g. saved via named_parameters): the
+            # canonical entry already supplies the same flax path
+            continue
         if e.kind == "conv":
             w = np.asarray(state_dict[f"{e.torch_key}.weight"])
             _insert(params, e.flax_path + ("kernel",), w.transpose(2, 3, 1, 0))

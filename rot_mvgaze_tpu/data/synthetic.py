@@ -39,7 +39,6 @@ def write_synthetic_h5(
         f.create_dataset(
             "face_head_pose", data=rng.uniform(-0.8, 0.8, (n, 2)).astype(np.float32)
         )
-        f.swmr_mode = True
     return path
 
 
@@ -51,7 +50,7 @@ def write_synthetic_dataset(
     seed: int = 0,
 ) -> list:
     """Write several subject archives under ``root``; returns the filenames."""
-    subjects = subjects or ["s00.h5", "s01.h5"]
+    subjects = subjects if subjects is not None else ["s00.h5", "s01.h5"]
     for i, name in enumerate(subjects):
         write_synthetic_h5(
             os.path.join(root, name),

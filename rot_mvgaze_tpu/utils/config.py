@@ -24,4 +24,4 @@ def build_model_from_cfg(cfg_path: str) -> Any:
         cfg = yaml.safe_load(f)
     module, cls = cfg["type"].rsplit(".", 1)
     ctor = getattr(importlib.import_module(module), cls)
-    return ctor(**cfg.get("params", {}))
+    return ctor(**(cfg.get("params") or {}))  # empty "params:" parses as None

@@ -362,3 +362,37 @@ def test_north_star_angular_delta():
         ref_out["pred_gaze"].numpy().astype(np.float64),
     )
     assert float(delta.max()) < 0.1, delta
+
+
+def test_share_weights_deduplicated_checkpoint_converts():
+    """A share_weights checkpoint whose aliased ModuleList duplicates were
+    deduplicated (e.g. saved via named_parameters) must still convert: the
+    canonical entry supplies every shared flax path."""
+    from rot_mvgaze_tpu.compat.torch_convert import (
+        convert_rot_mv_state_dict,
+        rot_mv_entries,
+    )
+
+    config = dict(backbone_depth=18, num_iter=2, share_weights=True)
+    img_0, img_1, hp_0, hp_1 = _make_inputs(batch=1, size=32)
+    rot_0, rot_1 = _rotmats(hp_0), _rotmats(hp_1)
+    _, sd, _ = _run_reference(config, img_0, img_1, rot_0, rot_1)
+
+    full = convert_rot_mv_state_dict(sd, **config)
+
+    # drop every aliased duplicate's keys from the state dict
+    aliased_prefixes = [
+        e.torch_key for e in rot_mv_entries(**config) if e.alias_of
+    ]
+    dedup = {
+        k: v
+        for k, v in sd.items()
+        if not any(k.startswith(p + ".") for p in aliased_prefixes)
+    }
+    assert len(dedup) < len(sd)
+    converted = convert_rot_mv_state_dict(dedup, **config)
+    import jax as _jax
+
+    _jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), full, converted
+    )
