@@ -57,8 +57,10 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="resume from checkpoint (.msgpack or torch .pth.tar)")
     p.add_argument("--pretrained_backbone", type=str, default=None,
                    help="initialize the backbone from a torchvision ResNet "
-                        "checkpoint file (ImageNet init, as the reference "
-                        "does via download)")
+                        "checkpoint file, or 'auto' to download it from the "
+                        "MODEL_URLS table with checksum verification (the "
+                        "reference's one-command ImageNet bootstrap; fails "
+                        "with instructions in zero-egress environments)")
     p.add_argument("--print_freq", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8,
@@ -69,9 +71,22 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--save_epoch", type=int, default=10)
     # --- extensions over the reference CLI ---
     # the reference supports only 18/50 (/root/reference/models/rot_mv.py:
-    # 119-122); the full vendored family is usable here
-    p.add_argument("--backbone_depth", type=int, default=50,
-                   choices=[18, 34, 50, 101, 152])
+    # 119-122); the full vendored family is usable here, including the
+    # grouped/wide variants (/root/reference/models/resnet.py:326-399)
+    def backbone_arg(v):
+        allowed = {"18", "34", "50", "101", "152",
+                   "resnext50_32x4d", "resnext101_32x8d",
+                   "wide_resnet50_2", "wide_resnet101_2"}
+        if str(v) not in allowed:
+            raise argparse.ArgumentTypeError(
+                f"backbone must be one of {sorted(allowed)}"
+            )
+        return int(v) if str(v).isdigit() else str(v)
+
+    p.add_argument("--backbone_depth", type=backbone_arg, default=50,
+                   help="18/34/50/101/152 or a variant name "
+                        "(resnext50_32x4d, resnext101_32x8d, "
+                        "wide_resnet50_2, wide_resnet101_2)")
     p.add_argument("--num_iter", type=int, default=3)
     p.add_argument("--share_weights", type=str2bool, default=False)
     p.add_argument("--encode_rotmat", type=str2bool, default=False)
@@ -94,8 +109,15 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "h5py thread loader if unavailable)")
     p.add_argument("--use_pallas_fusion", type=str2bool, default=False,
                    help="Pallas fused rotate+concat+GEMM fusion kernels")
-    p.add_argument("--use_pallas_bn", type=str2bool, default=False,
-                   help="Pallas fused train-mode BatchNorm(+ReLU+residual)")
+    def pallas_bn_arg(v):
+        if str(v).lower() == "residual":
+            return "residual"
+        return str2bool(v)
+
+    p.add_argument("--use_pallas_bn", type=pallas_bn_arg, default=False,
+                   help="Pallas fused train-mode BatchNorm(+ReLU+residual): "
+                        "true = every BN (measured slower, docs/PERF.md r1); "
+                        "'residual' = block-tail BNs only (r3 experiment)")
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint) for larger per-chip batches")
@@ -119,6 +141,14 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="data-parallel training over ALL visible chips "
                         "(jax.sharding Mesh; multi-host via jax.distributed). "
                         "batch_size is the GLOBAL batch. False = single device")
+    p.add_argument("--pairing", type=str, default="reference",
+                   choices=["reference", "rng"],
+                   help="stereo pair-index mode: 'reference' reproduces the "
+                        "reference's frozen pairing bit-for-bit (global "
+                        "Mersenne-Twister, train dataset drawn before test — "
+                        "the eval protocol the released checkpoints are "
+                        "measured over); 'rng' uses an independent seeded "
+                        "numpy generator")
     p.add_argument("--test_breakdown", type=str2bool, default=False,
                    help="in test mode, also report per-camera and "
                         "per-subject error (appended to test_results.txt)")
@@ -138,11 +168,21 @@ def _load_data_paths(override: Optional[str]) -> dict:
 
 
 def configure_dataset(
-    exp_name: str, data_paths: dict, seed: int = 0
+    exp_name: str, data_paths: dict, seed: int = 0, pairing: str = "reference"
 ) -> Tuple["GazeDataset", "GazeDataset"]:  # noqa: F821
     """exp_name -> (train_dataset, test_dataset); exact mapping of
-    /root/reference/main.py:121-209."""
+    /root/reference/main.py:121-209.
+
+    With ``pairing="reference"`` the two datasets share one
+    ``random.Random(seed)`` drawn train-first — the reference's exact
+    construction order (main.py:216 seeds, :224 builds train then test), so
+    both frozen pair indices match the reference bit-for-bit.
+    """
+    import random as stdlib_random
+
     from rot_mvgaze_tpu.data import GazeDataset
+
+    pair_rng = stdlib_random.Random(seed) if pairing == "reference" else None
 
     dataset_setting, headpose_setting = exp_name.split("_")[0], exp_name.split("_")[1]
     if headpose_setting == "known":
@@ -170,6 +210,8 @@ def configure_dataset(
         camera_tag=cam_train,
         stereo=True,
         seed=seed,
+        pairing=pairing,
+        pair_rng=pair_rng,
     )
     test_dataset = GazeDataset(
         dataset_name=test_name,
@@ -179,6 +221,8 @@ def configure_dataset(
         camera_tag=cam_test,
         stereo=True,
         seed=seed,
+        pairing=pairing,
+        pair_rng=pair_rng,
     )
     return train_dataset, test_dataset
 
@@ -242,7 +286,8 @@ def build_experiment(config: SimpleNamespace):
     set_seed(config.seed)
     data_paths = _load_data_paths(config.data_path)
     train_dataset, test_dataset = configure_dataset(
-        config.exp_name, data_paths, seed=config.seed
+        config.exp_name, data_paths, seed=config.seed,
+        pairing=getattr(config, "pairing", "reference"),
     )
 
     train_loader = test_loader = None
@@ -255,6 +300,8 @@ def build_experiment(config: SimpleNamespace):
             )
 
             if NativePool.available():
+                # pair_index from the h5 datasets: native and h5 paths are
+                # guaranteed to serve the identical frozen pairing
                 nat_train = PackedGazeDataset(
                     train_dataset.dataset_name,
                     osp.dirname(train_dataset.file_paths[0]),
@@ -262,6 +309,7 @@ def build_experiment(config: SimpleNamespace):
                     [osp.basename(p) for p in train_dataset.file_paths],
                     camera_tag=train_dataset.camera_tag,
                     seed=config.seed,
+                    pair_index=train_dataset.idx_to_kv,
                 )
                 nat_test = PackedGazeDataset(
                     test_dataset.dataset_name,
@@ -270,6 +318,7 @@ def build_experiment(config: SimpleNamespace):
                     [osp.basename(p) for p in test_dataset.file_paths],
                     camera_tag=test_dataset.camera_tag,
                     seed=config.seed,
+                    pair_index=test_dataset.idx_to_kv,
                 )
                 # assign BOTH only after both construct: a failure on either
                 # side must fall back to the h5py loaders as a pair

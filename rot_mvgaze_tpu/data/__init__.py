@@ -7,7 +7,12 @@ reference's float pipeline) and all augmentation/normalization runs on-device
 inside the jitted train step (rot_mvgaze_tpu.augment).
 """
 
-from rot_mvgaze_tpu.data.pairing import CAMERA_TAGS, build_pair_index
+from rot_mvgaze_tpu.data.pairing import (
+    CAMERA_TAGS,
+    build_pair_index,
+    build_pair_index_reference,
+    reference_pair_indices,
+)
 from rot_mvgaze_tpu.data.hdf5 import GazeDataset
 from rot_mvgaze_tpu.data.pipeline import BatchLoader, device_prefetch
 from rot_mvgaze_tpu.data.synthetic import write_synthetic_h5
@@ -15,6 +20,8 @@ from rot_mvgaze_tpu.data.synthetic import write_synthetic_h5
 __all__ = [
     "CAMERA_TAGS",
     "build_pair_index",
+    "build_pair_index_reference",
+    "reference_pair_indices",
     "GazeDataset",
     "BatchLoader",
     "device_prefetch",

@@ -21,7 +21,11 @@ from typing import Any, Dict, List, Sequence
 
 import numpy as np
 
-from rot_mvgaze_tpu.data.pairing import build_pair_index
+from rot_mvgaze_tpu.data.pairing import (
+    PairIndex,
+    build_pair_index,
+    build_pair_index_reference,
+)
 
 try:
     import h5py
@@ -49,7 +53,22 @@ class GazeDataset:
         camera_tag: str = "all",
         stereo: bool = True,
         seed: int = 0,
+        pairing: str = "reference",
+        pair_rng=None,
+        pair_index: "PairIndex" = None,
     ) -> None:
+        """``pairing`` selects the stereo pair-index mode:
+
+        - ``"reference"`` (default): bit-exact reproduction of the
+          reference's frozen pairing (stdlib Mersenne-Twister ``choice``,
+          /root/reference/dataset/gaze.py:72). Pass a shared ``pair_rng``
+          (``random.Random``) to replay the reference's train-then-test
+          construction order across two datasets (main.py:216,224).
+        - ``"rng"``: dedicated ``np.random.Generator(seed)`` — same
+          distribution, independent of stdlib ``random`` consumers.
+
+        ``pair_index`` overrides both with a precomputed index.
+        """
         if h5py is None:  # pragma: no cover
             raise ImportError("h5py is required for GazeDataset")
         assert dataset_name in ("xgaze", "mpiinv"), dataset_name
@@ -66,7 +85,16 @@ class GazeDataset:
             with h5py.File(p, "r", swmr=True) as f:
                 sizes.append(f["face_patch"].shape[0])
         self.file_sizes = sizes
-        self.idx_to_kv = build_pair_index(sizes, camera_tag, seed=seed)
+        if pair_index is not None:
+            self.idx_to_kv = list(pair_index)
+        elif pairing == "reference":
+            self.idx_to_kv = build_pair_index_reference(
+                sizes, camera_tag, rng=pair_rng, seed=seed
+            )
+        elif pairing == "rng":
+            self.idx_to_kv = build_pair_index(sizes, camera_tag, seed=seed)
+        else:
+            raise ValueError(f"unknown pairing mode: {pairing!r}")
 
         # Lazy per-thread archive handles (SWMR lets concurrent readers share
         # the files, mirroring /root/reference/dataset/gaze.py:54-56,99-103).
@@ -75,11 +103,15 @@ class GazeDataset:
         # threads' attributes from the closing thread
         self._open_handles: List["h5py.File"] = []
         self._handles_lock = threading.Lock()
+        # bumped by close(); stale threads whose handles were closed reopen
+        # on their next access instead of erroring on a closed file
+        self._generation = 0
 
     def _archives(self) -> List["h5py.File"]:
-        if not hasattr(self._local, "archives"):
+        if getattr(self._local, "generation", -1) != self._generation:
             handles = [h5py.File(p, "r", swmr=True) for p in self.file_paths]
             self._local.archives = handles
+            self._local.generation = self._generation
             with self._handles_lock:
                 self._open_handles.extend(handles)
         return self._local.archives
@@ -123,9 +155,17 @@ class GazeDataset:
     def close(self) -> None:
         """Close EVERY thread's lazily opened handles (reader threads park
         theirs in a shared registry; h5py file closes are thread-safe under
-        its global lock)."""
+        its global lock).
+
+        Loaders should be quiesced first: a reader thread caught MID-read
+        still fails on its closed handle (unavoidable without per-read
+        locking). A stale thread returning AFTER close() transparently
+        reopens via the generation check in ``_archives`` rather than using
+        a dead handle, so the dataset stays usable post-close.
+        """
         with self._handles_lock:
             handles, self._open_handles = self._open_handles, []
+            self._generation += 1
         for f in handles:
             try:
                 f.close()

@@ -24,7 +24,10 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from rot_mvgaze_tpu.data.packed import PackedFile, pack_dataset
-from rot_mvgaze_tpu.data.pairing import build_pair_index
+from rot_mvgaze_tpu.data.pairing import (
+    build_pair_index,
+    build_pair_index_reference,
+)
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "loader.cpp")
@@ -191,6 +194,9 @@ class PackedGazeDataset:
         seed: int = 0,
         cache_dir: Optional[str] = None,
         use_native: bool = True,
+        pairing: str = "reference",
+        pair_rng=None,
+        pair_index=None,
     ) -> None:
         cache_dir = cache_dir or os.path.join(
             dataset_path, "_rmgpack", dataset_name
@@ -201,7 +207,19 @@ class PackedGazeDataset:
         self.stereo = stereo
         self._np_files = [PackedFile(p) for p in self.paths]
         sizes = [f.n for f in self._np_files]
-        self.idx_to_kv = build_pair_index(sizes, camera_tag, seed=seed)
+        # Same pairing contract as GazeDataset (rot_mvgaze_tpu/data/hdf5.py);
+        # the CLI passes pair_index from the h5 datasets so native and h5
+        # paths are guaranteed index-identical.
+        if pair_index is not None:
+            self.idx_to_kv = list(pair_index)
+        elif pairing == "reference":
+            self.idx_to_kv = build_pair_index_reference(
+                sizes, camera_tag, rng=pair_rng, seed=seed
+            )
+        elif pairing == "rng":
+            self.idx_to_kv = build_pair_index(sizes, camera_tag, seed=seed)
+        else:
+            raise ValueError(f"unknown pairing mode: {pairing!r}")
         self.pool: Optional[NativePool] = None
         if use_native and NativePool.available():
             self.pool = NativePool(self.paths)

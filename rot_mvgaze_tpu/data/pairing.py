@@ -3,14 +3,28 @@
 Parity with /root/reference/dataset/gaze.py:39-73: rows are frame-major over
 18 cameras (``camera = idx % 18``); the partner view for each valid index is
 sampled ONCE at construction among the other valid cameras of the SAME frame.
-The reference draws partners from the globally-seeded ``random`` module
-(:72); here a dedicated ``numpy.random.Generator`` makes pairing reproducible
-and independent of other consumers of randomness.
+
+Two pairing modes:
+
+- ``build_pair_index`` — a dedicated ``numpy.random.Generator`` makes pairing
+  reproducible and independent of other consumers of randomness (the repo's
+  original mode; same distribution as the reference, different index).
+- ``build_pair_index_reference`` / ``reference_pair_indices`` — BIT-EXACT
+  reproduction of the reference's frozen pairing. The reference draws
+  partners from the globally-seeded stdlib Mersenne-Twister ``random.choice``
+  (/root/reference/dataset/gaze.py:72, seeded at main.py:216 via
+  utils/util.py:8), and builds the TRAIN dataset before the TEST dataset
+  (main.py:224 -> configure_dataset:121-209), so the test-set pairing
+  depends on every draw the train-set construction consumed first.
+  ``reference_pair_indices`` replays that exact sequence. The released
+  checkpoints' eval numbers are means over THIS pair index, so protocol-level
+  parity (BASELINE.json's <=0.1 deg target) requires the reference mode.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import random as _stdlib_random
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -59,3 +73,75 @@ def build_pair_index(
                 idx_b = int(candidates[rng.integers(len(candidates))])
                 index.append((file_i, idx, idx_b))
     return index
+
+
+def build_pair_index_reference(
+    file_sizes: Sequence[int],
+    camera_tag: str = "all",
+    rng: Optional[_stdlib_random.Random] = None,
+    seed: int = 0,
+    num_cameras: int = NUM_CAMERAS,
+) -> PairIndex:
+    """Bit-exact reproduction of /root/reference/dataset/gaze.py:60-73.
+
+    Every partner is drawn with stdlib ``Random.choice`` (Mersenne Twister) in
+    the reference's exact iteration order, so given the same generator state
+    the resulting index is IDENTICAL to the reference's ``idx_to_kv`` —
+    including the variable number of ``getrandbits`` words ``choice`` consumes
+    per draw (``_randbelow`` rejection sampling), which makes any
+    reimplementation with a different generator diverge.
+
+    Pass a shared ``rng`` to replay a multi-dataset construction sequence
+    (see :func:`reference_pair_indices`); otherwise a fresh
+    ``Random(seed)`` matches a reference run whose only global-``random``
+    consumer is this one dataset.
+    """
+    if rng is None:
+        rng = _stdlib_random.Random(seed)
+    cameras_idx = CAMERA_TAGS[camera_tag]
+    index: PairIndex = []
+    for file_i, n in enumerate(file_sizes):
+        # Mirror of the reference loop (dataset/gaze.py:65-73): list-based
+        # membership, same candidate ordering, stdlib choice.
+        valid_indices = [i for i in range(0, n) if (i % num_cameras) in cameras_idx]
+        valid_set = set(valid_indices)  # membership only; order from range()
+        for idx in valid_indices:
+            frame_start = (idx // num_cameras) * num_cameras
+            frame_valid_indices = [
+                i
+                for i in range(frame_start, frame_start + num_cameras)
+                if i in valid_set and i != idx
+            ]
+            if frame_valid_indices:
+                idx_b = rng.choice(frame_valid_indices)
+                index.append((file_i, idx, idx_b))
+    return index
+
+
+def reference_pair_indices(
+    train_file_sizes: Sequence[int],
+    train_camera_tag: str,
+    test_file_sizes: Sequence[int],
+    test_camera_tag: str,
+    seed: int = 0,
+    num_cameras: int = NUM_CAMERAS,
+) -> Tuple[PairIndex, PairIndex]:
+    """Replay the reference's full pairing sequence for one experiment.
+
+    The reference seeds the global ``random`` (main.py:216 ->
+    utils/util.py:8) and then constructs the train dataset FIRST and the test
+    dataset SECOND (main.py:224, configure_dataset:130-205); nothing else
+    consumes global ``random`` in between (``np.random.seed``/
+    ``torch.manual_seed`` seed their own generators). The test-set pairing
+    therefore depends on the train-set draws. Returns
+    ``(train_index, test_index)`` identical to the two datasets'
+    ``idx_to_kv`` under the reference protocol.
+    """
+    rng = _stdlib_random.Random(seed)
+    train = build_pair_index_reference(
+        train_file_sizes, train_camera_tag, rng=rng, num_cameras=num_cameras
+    )
+    test = build_pair_index_reference(
+        test_file_sizes, test_camera_tag, rng=rng, num_cameras=num_cameras
+    )
+    return train, test
