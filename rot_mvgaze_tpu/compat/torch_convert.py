@@ -42,6 +42,28 @@ STAGE_SIZES = {
 }
 BOTTLENECK_DEPTHS = {50, 101, 152}
 
+# Grouped/wide variants (/root/reference/models/resnet.py:326-399): their
+# state-dict KEY structure is identical to the plain bottleneck nets (groups/
+# width change tensor shapes, not names), so conversion only needs the right
+# stage sizes. Keyed by constructor name; plain depths keep their int keys.
+ARCH_STAGE_SIZES = {
+    "resnext50_32x4d": (3, 4, 6, 3),
+    "resnext101_32x8d": (3, 4, 23, 3),
+    "wide_resnet50_2": (3, 4, 6, 3),
+    "wide_resnet101_2": (3, 4, 23, 3),
+}
+
+
+def _arch_info(backbone) -> Tuple[Tuple[int, ...], bool]:
+    """(stage_sizes, is_bottleneck) for an int depth or a variant name."""
+    if isinstance(backbone, str) and backbone in ARCH_STAGE_SIZES:
+        return ARCH_STAGE_SIZES[backbone], True  # all variants are bottleneck
+    if isinstance(backbone, str):
+        # "resnet50"-style names and numeric strings fall through by depth
+        digits = "".join(c for c in backbone if c.isdigit())
+        backbone = int(digits)
+    return STAGE_SIZES[backbone], backbone in BOTTLENECK_DEPTHS
+
 
 @dataclass(frozen=True)
 class Entry:
@@ -61,10 +83,11 @@ class Entry:
 
 
 def _resnet_entries(
-    depth: int, torch_prefix: str, flax_prefix: Tuple[str, ...]
+    depth, torch_prefix: str, flax_prefix: Tuple[str, ...]
 ) -> List[Entry]:
-    stage_sizes = STAGE_SIZES[depth]
-    bottleneck = depth in BOTTLENECK_DEPTHS
+    """``depth`` is an int (18/34/50/101/152) or a variant name
+    ('resnext50_32x4d', 'wide_resnet50_2', ...)."""
+    stage_sizes, bottleneck = _arch_info(depth)
     expansion = 4 if bottleneck else 1
     entries = [
         Entry(f"{torch_prefix}conv1", flax_prefix + ("conv1",), "conv"),
@@ -279,7 +302,8 @@ def flax_to_torch_state_dict(
             )
     if strict_compatible:
         depth = config.get("backbone_depth", 50)
-        feat_dim = 512 * (4 if depth in BOTTLENECK_DEPTHS else 1)
+        _, bottleneck = _arch_info(depth)
+        feat_dim = 512 * (4 if bottleneck else 1)
         out["_feat_extractor.0.fc.weight"] = np.zeros(
             (1000, feat_dim), np.float32
         )
@@ -289,7 +313,7 @@ def flax_to_torch_state_dict(
 
 def convert_resnet_state_dict(
     state_dict: Mapping[str, np.ndarray],
-    depth: int,
+    depth,
     include_fc: bool = False,
 ) -> Dict[str, Any]:
     """Plain torchvision-format ResNet state dict -> flax variables.
@@ -297,7 +321,10 @@ def convert_resnet_state_dict(
     Used to initialize the backbone from ImageNet-pretrained weights — the
     reference downloads these at model construction
     (/root/reference/models/resnet.py:278-283, rot_mv.py:120-122); here they
-    are loaded from a local file (``--pretrained_backbone``).
+    are loaded from a local file (``--pretrained_backbone``). ``depth``
+    accepts an int or a variant name ('resnext50_32x4d', 'wide_resnet50_2',
+    ... — /root/reference/models/resnet.py:326-399); grouped conv weights use
+    the same (O, I/g, kH, kW) -> (kH, kW, I/g, O) transpose as plain convs.
     """
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}

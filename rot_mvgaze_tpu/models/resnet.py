@@ -205,6 +205,20 @@ class ConvBN(nn.Module):
         return x
 
 
+def _pallas_bn_flags(use_pallas_bn) -> tuple:
+    """(body_bns, tail_bn): per-position Pallas-BN enables.
+
+    ``use_pallas_bn`` accepts ``True`` (every BN — the r1 experiment,
+    measured negative: opaque kernels break XLA's conv-chain fusions) or
+    ``"residual"`` (ONLY the block-tail BN, where BN + residual-add + ReLU
+    meet — the r3 bounded attempt at the `add_add_fusion` pass traffic
+    identified in docs/PERF.md; the body BNs stay inside XLA's fusion
+    domain)."""
+    body = use_pallas_bn is True
+    tail = use_pallas_bn in (True, "residual")
+    return body, tail
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (/root/reference/models/resnet.py:50-96)."""
 
@@ -217,15 +231,16 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
-    use_pallas_bn: bool = False
+    use_pallas_bn: Any = False  # False | True | "residual" (tail BN only)
     int8: Any = False
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        body_pallas, tail_pallas = _pallas_bn_flags(self.use_pallas_bn)
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
-            bn_axis_name=self.bn_axis_name, use_pallas_bn=self.use_pallas_bn,
+            bn_axis_name=self.bn_axis_name, use_pallas_bn=body_pallas,
             int8=self.int8,
         )
         identity = x
@@ -247,7 +262,7 @@ class BasicBlock(nn.Module):
                 if self.zero_init_residual
                 else nn.initializers.ones
             ),
-            **common,
+            **{**common, "use_pallas_bn": tail_pallas},
         )(out, train, residual=identity)
         return out
 
@@ -264,16 +279,17 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
-    use_pallas_bn: bool = False
+    use_pallas_bn: Any = False  # False | True | "residual" (tail BN only)
     int8: Any = False
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        body_pallas, tail_pallas = _pallas_bn_flags(self.use_pallas_bn)
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
-            bn_axis_name=self.bn_axis_name, use_pallas_bn=self.use_pallas_bn,
+            bn_axis_name=self.bn_axis_name, use_pallas_bn=body_pallas,
             int8=self.int8,
         )
         identity = x
@@ -299,7 +315,7 @@ class Bottleneck(nn.Module):
                 if self.zero_init_residual
                 else nn.initializers.ones
             ),
-            **common,
+            **{**common, "use_pallas_bn": tail_pallas},
         )(out, train, residual=identity)
         return out
 
@@ -323,7 +339,9 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
-    use_pallas_bn: bool = False
+    # False | True (every BN via Pallas — r1, measured negative) |
+    # "residual" (block-tail BNs only, where BN+residual+ReLU meet — r3)
+    use_pallas_bn: Any = False
     # Run convolutions on the int8 MXU path at eval (ops/quant.py); the
     # training path is unchanged. False | True (dynamic activation scales) |
     # "static" (calibrated scales in the `quant` collection — fastest).
@@ -358,7 +376,7 @@ class ResNet(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 kernel_init=conv_kaiming_init, name="conv1",
             )(x)
-        if self.use_pallas_bn:
+        if self.use_pallas_bn is True:  # stem BN has no residual; body-only
             from rot_mvgaze_tpu.models.norm import PallasBatchNormAct
 
             x = PallasBatchNormAct(
@@ -480,4 +498,15 @@ BACKBONES = {
     50: resnet50,
     101: resnet101,
     152: resnet152,
+    # name-keyed variants (/root/reference/models/resnet.py:326-399);
+    # the plain nets are addressable by name too
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+    "resnet101": resnet101,
+    "resnet152": resnet152,
+    "resnext50_32x4d": resnext50_32x4d,
+    "resnext101_32x8d": resnext101_32x8d,
+    "wide_resnet50_2": wide_resnet50_2,
+    "wide_resnet101_2": wide_resnet101_2,
 }

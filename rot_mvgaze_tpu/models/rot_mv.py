@@ -281,7 +281,9 @@ class FeatRotationSymm(nn.Module):
     (/root/reference/main.py:231-236). All ablation paths supported.
     """
 
-    backbone_depth: int = 50
+    # int depth (18/34/50/101/152) or a variant name from BACKBONES
+    # ('resnext50_32x4d', 'wide_resnet50_2', ...)
+    backbone_depth: Any = 50
     num_iter: int = 3
     share_weights: bool = False
     encode_rotmat: bool = False
@@ -294,7 +296,9 @@ class FeatRotationSymm(nn.Module):
     use_pallas_fusion: bool = False
     # Pallas fused train-mode BatchNorm(+ReLU+residual) in the backbone —
     # the profiled hot path (see rot_mvgaze_tpu/ops/batchnorm.py).
-    use_pallas_bn: bool = False
+    # False | True (all BNs) | "residual" (block-tail BNs only; see
+    # models/resnet.py _pallas_bn_flags + docs/PERF.md r3)
+    use_pallas_bn: Any = False
     # int8 MXU backbone convs at eval/serving (ops/quant.py); train path
     # unaffected; same checkpoints. False | True (dynamic activation scales)
     # | "static" (calibrated scales in the `quant` collection: 1.24x bf16
