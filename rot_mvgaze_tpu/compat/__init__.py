@@ -12,11 +12,17 @@ from rot_mvgaze_tpu.compat.torch_convert import (
     load_pretrained_backbone,
     load_torch_state_dict,
 )
+from rot_mvgaze_tpu.compat.download import (
+    download_pretrained,
+    resolve_pretrained_backbone,
+)
 
 __all__ = [
     "convert_resnet_state_dict",
     "convert_rot_mv_state_dict",
+    "download_pretrained",
     "flax_to_torch_state_dict",
     "load_pretrained_backbone",
     "load_torch_state_dict",
+    "resolve_pretrained_backbone",
 ]

@@ -106,7 +106,16 @@ class Trainer:
         pretrained_backbone = getattr(config, "pretrained_backbone", None)
         if pretrained_backbone:
             from rot_mvgaze_tpu.compat import load_pretrained_backbone
+            from rot_mvgaze_tpu.compat.download import (
+                resolve_pretrained_backbone,
+            )
 
+            # 'auto'/'download' fetches from MODEL_URLS with checksum
+            # verification — the reference's one-command ImageNet bootstrap
+            # (/root/reference/models/resnet.py:278-283)
+            pretrained_backbone = resolve_pretrained_backbone(
+                pretrained_backbone, self.model.backbone_depth
+            )
             init_variables = jax.tree.map(
                 jnp.asarray,
                 load_pretrained_backbone(
@@ -574,7 +583,12 @@ class Trainer:
         # main.py:255), so the export must include the never-used keys
         # (num_batches_tracked, backbone fc) it expects.
         sd = flax_to_torch_state_dict(variables, strict_compatible=True, **cfg)
-        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+        # np.array copy: device_get can hand back non-writable views, and
+        # torch.from_numpy on those emits a UserWarning (torch tensors assume
+        # write access to the shared buffer)
+        torch.save(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, path
+        )
         return path
 
 
