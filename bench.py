@@ -61,12 +61,19 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "128")) * n_dev
     size = int(os.environ.get("BENCH_SIZE", "224"))
 
+    pallas_bn_env = os.environ.get("BENCH_PALLAS_BN", "0")
     model = FeatRotationSymm(
         backbone_depth=int(os.environ.get("BENCH_DEPTH", "50")),
         num_iter=int(os.environ.get("BENCH_ITERS", "3")),
         dtype=jnp.bfloat16,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
         use_pallas_fusion=os.environ.get("BENCH_PALLAS_FUSION", "0") == "1",
+        # "1" = all BNs via Pallas (r1, negative); "residual" = tail BNs only
+        use_pallas_bn=(
+            True if pallas_bn_env == "1"
+            else "residual" if pallas_bn_env == "residual"
+            else False
+        ),
     )
     metrics = IterationLoss(
         loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
@@ -117,9 +124,20 @@ def main() -> None:
                         fold_key_by_step=True),
         donate_argnums=(0,),
     )
+    key = jax.device_put(jax.random.PRNGKey(0))
+
+    # BENCH_COMPILER_OPTIONS: JSON dict of XLA compiler options compiled
+    # into THIS executable (e.g. '{"xla_tpu_rwb_fusion": "false"}').
+    # XLA_FLAGS cannot carry xla_tpu_* flags through a tunneled backend —
+    # the LOCAL client's flag parser rejects names only the remote TPU
+    # compiler knows — but per-jit compiler_options are forwarded verbatim.
+    opts = os.environ.get("BENCH_COMPILER_OPTIONS")
+    if opts:
+        train_step = train_step.lower(state, device_batch, key).compile(
+            compiler_options=json.loads(opts)
+        )
 
     # warmup / compile
-    key = jax.device_put(jax.random.PRNGKey(0))
     for i in range(3):
         state, stats = train_step(state, device_batch, key)
     jax.block_until_ready(state.params)
@@ -141,7 +159,11 @@ def main() -> None:
     }
     if n_dev > 1:
         record["n_chips"] = n_dev
-        record["total_imgs_per_sec"] = round(imgs_per_sec, 1)
+        # derived from the ROUNDED per-chip value so the record is
+        # self-consistent by construction (value * n_chips == total up to one
+        # final rounding) — at tiny virtual-mesh throughputs, independently
+        # rounding two views of the same timing made them disagree by >5%
+        record["total_imgs_per_sec"] = round(record["value"] * n_dev, 1)
     print(json.dumps(record))
 
 

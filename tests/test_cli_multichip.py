@@ -316,9 +316,11 @@ class TestBenchSmoke:
         assert rec["metric"] == "rotmv_r50_train_step_throughput"
         assert rec["value"] > 0 and np.isfinite(rec["value"])
         assert rec["n_chips"] == 8
-        # both fields are independently rounded to 0.1
+        # the record is self-consistent by construction: total is derived
+        # from the rounded per-chip value (bench.py), so only the final 0.1
+        # rounding can separate them — no wall-clock arithmetic, no flake
         assert rec["total_imgs_per_sec"] == pytest.approx(
-            rec["value"] * 8, rel=0.05
+            rec["value"] * 8, abs=0.051
         )
 
 
