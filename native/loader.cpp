@@ -111,12 +111,30 @@ class Pool {
     memcpy(&img_off, base + 32, 8);
     memcpy(&gaze_off, base + 40, 8);
     memcpy(&pose_off, base + 48, 8);
-    const uint64_t img_bytes = f.n * uint64_t(f.h) * f.w * f.c;
-    const uint64_t label_bytes = f.n * 2 * sizeof(float);
+    // Overflow-proof extent math: a corrupted header with a huge n (or
+    // absurd dims) must not wrap n*h*w*c or off+bytes in uint64 and slip
+    // past validation — that would re-enable the SIGBUS this check exists
+    // to prevent. Bound the dims first so the per-sample product fits, use
+    // checked division for n, and compare offsets by subtraction.
+    constexpr uint64_t kMaxDim = 1ull << 20;  // 1M px/side, 1M channels
     if (f.h == 0 || f.w == 0 || f.c == 0 ||
-        img_off < kHeaderSize || img_off + img_bytes > map_len ||
-        gaze_off < kHeaderSize || gaze_off + label_bytes > map_len ||
-        pose_off < kHeaderSize || pose_off + label_bytes > map_len) {
+        f.h > kMaxDim || f.w > kMaxDim || f.c > kMaxDim) {
+      munmap(mem, st.st_size);
+      return -3;
+    }
+    const uint64_t per_sample = uint64_t(f.h) * f.w * f.c;  // <= 2^60
+    if (f.n > map_len / per_sample || f.n > map_len / (2 * sizeof(float))) {
+      munmap(mem, st.st_size);
+      return -3;
+    }
+    const uint64_t img_bytes = uint64_t(f.n) * per_sample;
+    const uint64_t label_bytes = uint64_t(f.n) * 2 * sizeof(float);
+    if (img_off < kHeaderSize || img_off > map_len ||
+        img_bytes > map_len - img_off ||
+        gaze_off < kHeaderSize || gaze_off > map_len ||
+        label_bytes > map_len - gaze_off ||
+        pose_off < kHeaderSize || pose_off > map_len ||
+        label_bytes > map_len - pose_off) {
       munmap(mem, st.st_size);
       return -3;  // truncated or inconsistent pack
     }

@@ -8,6 +8,7 @@ the two-view FeatRotationSymm and the single-view baseline.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Dict, Iterable
 
 import jax
@@ -21,8 +22,11 @@ from rot_mvgaze_tpu.geometry import angular_error_numpy, rotation_matrix_2d
 # evaluate_gaze* calls (per-epoch evals, checkpoint sweeps) reuse one
 # compiled executable instead of retracing per call — recompiles are
 # multi-minute on a tunneled TPU. flax modules hash by their static config;
-# an unhashable custom model just skips the cache.
-_FORWARD_CACHE: Dict[Any, Any] = {}
+# an unhashable custom model just skips the cache. Bounded LRU: a checkpoint
+# sweep over many distinct model configs must not retain every executable
+# (and the model references they close over) for the process lifetime.
+_FORWARD_CACHE: "OrderedDict[Any, Any]" = OrderedDict()
+_FORWARD_CACHE_MAX = 8
 
 
 def _eval_forward(model: Any, image_size: int, single_view: bool):
@@ -30,6 +34,7 @@ def _eval_forward(model: Any, image_size: int, single_view: bool):
         key = (model, image_size, single_view)
         cached = _FORWARD_CACHE.get(key)
         if cached is not None:
+            _FORWARD_CACHE.move_to_end(key)
             return cached
     except TypeError:
         key = None
@@ -52,6 +57,8 @@ def _eval_forward(model: Any, image_size: int, single_view: bool):
 
     if key is not None:
         _FORWARD_CACHE[key] = fwd
+        while len(_FORWARD_CACHE) > _FORWARD_CACHE_MAX:
+            _FORWARD_CACHE.popitem(last=False)
     return fwd
 
 

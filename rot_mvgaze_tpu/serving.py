@@ -29,6 +29,10 @@ from rot_mvgaze_tpu.augment.ops import eval_preprocess
 from rot_mvgaze_tpu.geometry import rotation_matrix_2d
 from rot_mvgaze_tpu.models import FeatRotationSymm
 
+# below this many samples, static-int8 auto-calibration warns that its frozen
+# activation ranges come from too small a probe (ADVICE r2)
+_MIN_CALIBRATION_SAMPLES = 64
+
 
 MODEL_CONFIG_KEYS = (
     "backbone_depth",
@@ -215,6 +219,17 @@ class GazePredictor:
         if n == 0:
             return np.zeros((0, 2), np.float32)
         ran_calib = self._int8_static and not self._calibrated
+        if ran_calib and n < _MIN_CALIBRATION_SAMPLES:
+            import warnings
+
+            warnings.warn(
+                f"static-int8 auto-calibration is freezing activation ranges "
+                f"from only {n} sample(s); later out-of-range activations "
+                f"will be silently clipped. Call calibrate() with >= "
+                f"{_MIN_CALIBRATION_SAMPLES} representative samples for "
+                f"stable scales.",
+                stacklevel=2,
+            )
         out = self._predict(
             img_0, img_1, head_pose_0, head_pose_1, force_calib=ran_calib
         )

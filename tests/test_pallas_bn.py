@@ -160,6 +160,25 @@ class TestResNetPallasBN:
         for a, b in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_ref)):
             np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-2)
 
+    def test_residual_only_mode_matches_default(self):
+        """use_pallas_bn="residual" (r3: Pallas only at block-tail
+        BN+residual+ReLU positions, body BNs stay in XLA) — same param tree,
+        train-mode outputs within the fused-variance formulation tolerance,
+        eval outputs near-exact."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        m_ref = resnet18()
+        m_res = resnet18(use_pallas_bn="residual")
+        vs = m_ref.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.structure(vs) == jax.tree.structure(
+            m_res.init(jax.random.PRNGKey(1), x)
+        )
+        out_ref = m_ref.apply(vs, x, mutable=False)
+        out_res = m_res.apply(vs, x, mutable=False)
+        np.testing.assert_allclose(out_res, out_ref, atol=1e-5, rtol=1e-4)
+        t_ref, _ = m_ref.apply(vs, x, train=True, mutable=["batch_stats"])
+        t_res, _ = m_res.apply(vs, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(t_res, t_ref, atol=5e-3, rtol=5e-2)
+
     def test_full_model_pallas_bn_eval_parity(self):
         data_key = jax.random.PRNGKey(0)
         eye = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
