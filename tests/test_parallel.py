@@ -30,9 +30,12 @@ class TestMesh:
 
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
+        # reduced config: same assertions/sharding as the driver's flagship
+        # run, ~50x less CPU-mesh compute (the flagship R50/224^2 variant is
+        # exercised by the driver itself and takes ~15 min on this mesh)
         import __graft_entry__ as graft
 
-        graft.dryrun_multichip(8)
+        graft.dryrun_multichip(8, n_steps=3, flagship=False)
 
     def test_entry_compiles(self):
         import __graft_entry__ as graft
