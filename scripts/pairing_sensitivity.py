@@ -31,6 +31,14 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor an explicit JAX_PLATFORMS=cpu even though the session sitecustomize
+# force-selects the TPU platform via jax.config — the env var alone cannot
+# win against that (same pattern as bench.py / __graft_entry__.py).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> int:
     p = argparse.ArgumentParser()
