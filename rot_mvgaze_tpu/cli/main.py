@@ -152,6 +152,14 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
     p.add_argument("--test_breakdown", type=str2bool, default=False,
                    help="in test mode, also report per-camera and "
                         "per-subject error (appended to test_results.txt)")
+    p.add_argument("--xla_compiler_options", type=str, default=None,
+                   help="JSON dict of XLA compiler options compiled into the "
+                        "train step (e.g. '{\"xla_tpu_autotune_dots\": "
+                        "\"true\"}'). Per-executable options are the only "
+                        "way to reach xla_tpu_* flags through a tunneled "
+                        "backend (the local client's XLA_FLAGS parser "
+                        "rejects names only the remote compiler defines). "
+                        "See docs/PERF.md for the measured r3 sweep")
     return p
 
 

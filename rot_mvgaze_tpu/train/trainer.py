@@ -225,6 +225,30 @@ class Trainer:
                     "(a ragged final batch cannot split into micro-batches)"
                 )
 
+        # --xla_compiler_options: JSON dict of per-executable XLA options
+        # (the only route to xla_tpu_* flags over a tunneled backend; the
+        # r3 sweep in docs/PERF.md measured the candidates). Train step
+        # only — the eval graph was not part of the sweep.
+        jit_kwargs = {}
+        xla_opts = getattr(config, "xla_compiler_options", None)
+        if xla_opts:
+            import json as _json
+
+            try:
+                parsed = (xla_opts if isinstance(xla_opts, dict)
+                          else _json.loads(xla_opts))
+            except _json.JSONDecodeError as e:
+                raise ValueError(
+                    f"--xla_compiler_options is not valid JSON: {e}"
+                ) from e
+            if not isinstance(parsed, dict):
+                raise ValueError(
+                    "--xla_compiler_options must be a JSON object of "
+                    "{option: value}"
+                )
+            if parsed:
+                jit_kwargs["compiler_options"] = parsed
+
         self._train_step = jax.jit(
             make_train_step(
                 self.model,
@@ -239,6 +263,7 @@ class Trainer:
                 grad_accum=grad_accum,
             ),
             donate_argnums=(0,),
+            **jit_kwargs,
         )
         # staged once; reused every step (fold happens inside the jit)
         self._base_key = jax.device_put(self.root_key)

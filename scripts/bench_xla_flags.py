@@ -123,11 +123,24 @@ def main() -> int:
     p.add_argument("--out", default="docs/xla_flag_sweep_r3.json")
     p.add_argument("--only", default=None,
                    help="comma-separated labels to run (default: all)")
+    p.add_argument("--custom", default=None,
+                   help="JSON dict {label: {option: value}} of extra "
+                        "candidates (e.g. combinations of sweep winners); "
+                        "runs INSTEAD of the built-in list unless --only "
+                        "also selects built-ins")
     args = p.parse_args()
 
-    only = set(args.only.split(",")) if args.only else None
+    candidates = list(CANDIDATES)
+    if args.custom:
+        extra = json.loads(args.custom)
+        candidates = ([c for c in CANDIDATES
+                       if args.only and c[0] in set(args.only.split(","))]
+                      if args.only else [])
+        candidates += [(label, opts) for label, opts in extra.items()]
+
+    only = set(args.only.split(",")) if (args.only and not args.custom) else None
     results = []
-    for label, options in CANDIDATES:
+    for label, options in candidates:
         if only is not None and label not in only:
             continue
         r = run_one(label, options)

@@ -282,3 +282,44 @@ class TestFailureRecovery:
         assert np.isnan(result)
         saved = os.listdir(trainer.ckpt_dir)
         assert any(f.startswith("preempt_") for f in saved), saved
+
+
+class TestXlaCompilerOptions:
+    """--xla_compiler_options plumbing (r3): JSON dict of per-executable XLA
+    options passed to the train-step jit — the only route to xla_tpu_* flags
+    over a tunneled backend (docs/PERF.md r3 sweep). CPU tests cover the
+    parse/validation wiring; option efficacy is measured on the real chip
+    (scripts/bench_xla_flags.py)."""
+
+    def test_invalid_json_raises(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, xla_compiler_options="{not json")
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        with pytest.raises(ValueError, match="not valid JSON"):
+            Trainer(cfg, model, _metrics(), train_loader, test_loader)
+
+    def test_non_dict_raises(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, xla_compiler_options='["a"]')
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        with pytest.raises(ValueError, match="JSON object"):
+            Trainer(cfg, model, _metrics(), train_loader, test_loader)
+
+    def test_empty_and_absent_are_noops(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, xla_compiler_options="{}")
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        trainer.train_one_epoch(0)
+        assert trainer.train_iter == len(train_loader)
+
+    def test_cli_flag_parses(self):
+        from rot_mvgaze_tpu.cli.main import get_parser
+
+        args, _ = get_parser().parse_known_args(
+            ["--exp_name", "xgaze", "--xla_compiler_options",
+             '{"xla_tpu_autotune_dots": "true"}']
+        )
+        assert json.loads(args.xla_compiler_options) == {
+            "xla_tpu_autotune_dots": "true"
+        }
