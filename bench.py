@@ -74,6 +74,9 @@ def main() -> None:
             else "residual" if pallas_bn_env == "residual"
             else False
         ),
+        # ghost-stat BN experiment (docs/PERF.md r3): stats from every k-th
+        # batch row; 1 = exact reference semantics (shipped default)
+        bn_stat_subsample=int(os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")),
     )
     metrics = IterationLoss(
         loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5

@@ -118,6 +118,12 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="Pallas fused train-mode BatchNorm(+ReLU+residual): "
                         "true = every BN (measured slower, docs/PERF.md r1); "
                         "'residual' = block-tail BNs only (r3 experiment)")
+    p.add_argument("--bn_stat_subsample", type=int, default=1,
+                   help="ghost-stat BN: compute train-mode batch statistics "
+                        "from every k-th batch row only (cuts the stat-"
+                        "reduce HBM pass ~k-fold; noisier stats — an opt-in "
+                        "training-dynamics deviation from the reference, "
+                        "like --fuse_views; measured in docs/PERF.md r3)")
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint) for larger per-chip batches")
@@ -371,6 +377,7 @@ def build_experiment(config: SimpleNamespace):
         dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
         use_pallas_fusion=getattr(config, "use_pallas_fusion", False),
         use_pallas_bn=getattr(config, "use_pallas_bn", False),
+        bn_stat_subsample=getattr(config, "bn_stat_subsample", 1),
         remat=getattr(config, "remat", False),
         fuse_views=getattr(config, "fuse_views", False),
     )

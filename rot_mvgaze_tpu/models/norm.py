@@ -49,6 +49,16 @@ class TorchBatchNorm(nn.Module):
     param_dtype: Any = jnp.float32
     scale_init: Any = nn.initializers.ones
     bias_init: Any = nn.initializers.zeros
+    # Ghost-stat subsampling (r3 perf experiment, opt-in): compute the
+    # train-mode batch statistics from the FIRST B//k batch rows only
+    # (x[:B//k] — a contiguous prefix, which XLA fuses into a smaller
+    # reduce; a strided x[::k] was measured 37% SLOWER end-to-end, see
+    # docs/PERF.md), cutting the stat-reduce's HBM read pass ~k-fold.
+    # Batch rows are i.i.d. under shuffling, so prefix == every-k-th
+    # statistically. Noisier stats (ghost-batch regime) — a deliberate
+    # training-dynamics deviation from the reference, like fuse_views.
+    # 1 = exact (default).
+    stat_subsample: int = 1
 
     @nn.compact
     def __call__(
@@ -70,7 +80,16 @@ class TorchBatchNorm(nn.Module):
         if ura:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            k = self.stat_subsample
+            if k < 1:
+                raise ValueError(f"stat_subsample must be >= 1, got {k}")
+            if k > 1 and x.shape[0] < 2 * k:
+                # fewer than 2 rows would survive — stats degenerate
+                raise ValueError(
+                    f"stat_subsample={k} leaves <2 of {x.shape[0]} batch rows"
+                )
+            xs = x if k == 1 else x[: x.shape[0] // k]
+            xf = xs.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
             mean2 = jnp.mean(jnp.square(xf), axes)
@@ -79,7 +98,7 @@ class TorchBatchNorm(nn.Module):
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = x.size // c
+                n = xs.size // c
                 if self.axis_name is not None:
                     n = n * jax.lax.psum(1, self.axis_name)
                 unbiased = var * (n / max(n - 1, 1))

@@ -130,6 +130,9 @@ class ConvBN(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: bool = False
+    # ghost-stat subsampling (see TorchBatchNorm.stat_subsample); XLA path
+    # only — combining with use_pallas_bn is rejected rather than ignored
+    bn_stat_subsample: int = 1
     int8: Any = False  # False | True (dynamic scales) | "static" (calibrated)
     conv_name: str = "conv"
     bn_name: str = "bn"
@@ -168,6 +171,11 @@ class ConvBN(nn.Module):
                 name=self.conv_name,
             )(x)
         if self.use_pallas_bn:
+            if self.bn_stat_subsample != 1:
+                raise ValueError(
+                    "bn_stat_subsample is only implemented on the default "
+                    "TorchBatchNorm path, not the Pallas BN kernels"
+                )
             if self.bn_axis_name is not None:
                 raise ValueError(
                     "use_pallas_bn has no cross-replica batch-stat sync: "
@@ -196,6 +204,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             scale_init=self.bn_scale_init,
+            stat_subsample=self.bn_stat_subsample,
             name=self.bn_name,
         )(x)
         if residual is not None:
@@ -232,6 +241,7 @@ class BasicBlock(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: Any = False  # False | True | "residual" (tail BN only)
+    bn_stat_subsample: int = 1  # ghost-stat subsampling (TorchBatchNorm)
     int8: Any = False
     expansion: int = 1
 
@@ -241,7 +251,7 @@ class BasicBlock(nn.Module):
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name, use_pallas_bn=body_pallas,
-            int8=self.int8,
+            bn_stat_subsample=self.bn_stat_subsample, int8=self.int8,
         )
         identity = x
         if self.has_downsample:
@@ -280,6 +290,7 @@ class Bottleneck(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas_bn: Any = False  # False | True | "residual" (tail BN only)
+    bn_stat_subsample: int = 1  # ghost-stat subsampling (TorchBatchNorm)
     int8: Any = False
     expansion: int = 4
 
@@ -290,7 +301,7 @@ class Bottleneck(nn.Module):
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name, use_pallas_bn=body_pallas,
-            int8=self.int8,
+            bn_stat_subsample=self.bn_stat_subsample, int8=self.int8,
         )
         identity = x
         if self.has_downsample:
@@ -342,6 +353,10 @@ class ResNet(nn.Module):
     # False | True (every BN via Pallas — r1, measured negative) |
     # "residual" (block-tail BNs only, where BN+residual+ReLU meet — r3)
     use_pallas_bn: Any = False
+    # Ghost-stat subsampling: train-mode BN statistics from every k-th batch
+    # row (TorchBatchNorm.stat_subsample; r3 perf experiment, opt-in
+    # training-dynamics deviation like fuse_views)
+    bn_stat_subsample: int = 1
     # Run convolutions on the int8 MXU path at eval (ops/quant.py); the
     # training path is unchanged. False | True (dynamic activation scales) |
     # "static" (calibrated scales in the `quant` collection — fastest).
@@ -389,6 +404,7 @@ class ResNet(nn.Module):
             x = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.bn_axis_name,
+                stat_subsample=self.bn_stat_subsample,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
             )(x)
             x = nn.relu(x)
@@ -427,6 +443,7 @@ class ResNet(nn.Module):
                     param_dtype=self.param_dtype,
                     bn_axis_name=self.bn_axis_name,
                     use_pallas_bn=self.use_pallas_bn,
+                    bn_stat_subsample=self.bn_stat_subsample,
                     int8=self.int8,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)

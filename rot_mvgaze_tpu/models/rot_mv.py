@@ -299,6 +299,11 @@ class FeatRotationSymm(nn.Module):
     # False | True (all BNs) | "residual" (block-tail BNs only; see
     # models/resnet.py _pallas_bn_flags + docs/PERF.md r3)
     use_pallas_bn: Any = False
+    # Ghost-stat subsampling: backbone train-mode BN statistics from every
+    # k-th batch row (models/norm.py TorchBatchNorm.stat_subsample) — an
+    # opt-in training-dynamics deviation like fuse_views; r3 perf experiment
+    # (docs/PERF.md). 1 = exact reference semantics.
+    bn_stat_subsample: int = 1
     # int8 MXU backbone convs at eval/serving (ops/quant.py); train path
     # unaffected; same checkpoints. False | True (dynamic activation scales)
     # | "static" (calibrated scales in the `quant` collection: 1.24x bf16
@@ -322,6 +327,7 @@ class FeatRotationSymm(nn.Module):
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
             use_pallas_bn=self.use_pallas_bn,
+            bn_stat_subsample=self.bn_stat_subsample,
             int8=self.int8_backbone,
             remat=self.remat,
             name="backbone",

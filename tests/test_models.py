@@ -285,3 +285,91 @@ class TestPallasBnDpGuard:
                 jnp.zeros((1, 32, 32, 3)),
                 train=True,
             )
+
+
+class TestBnStatSubsample:
+    """Ghost-stat BN (r3 perf experiment): train-mode batch statistics from
+    every k-th batch row (models/norm.py TorchBatchNorm.stat_subsample).
+    Opt-in training-dynamics deviation; default k=1 stays reference-exact."""
+
+    def test_subsample_stats_come_from_selected_rows(self):
+        from rot_mvgaze_tpu.models.norm import TorchBatchNorm
+
+        rng = np.random.default_rng(0)
+        # first half ~N(0,1), second half shifted to N(5,1): k=2 must see
+        # only the prefix rows' statistics (contiguous prefix slice — the
+        # strided variant measured 37% slower end-to-end, docs/PERF.md)
+        x = rng.normal(size=(8, 4, 4, 3)).astype(np.float32)
+        x[4:] += 5.0
+        bn = TorchBatchNorm(use_running_average=False, stat_subsample=2)
+        vars0 = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y, mut = bn.apply(
+            vars0, jnp.asarray(x), mutable=["batch_stats"]
+        )
+        xs = x[:4].astype(np.float64)
+        mean = xs.mean(axis=(0, 1, 2))
+        var = xs.var(axis=(0, 1, 2))  # biased, as torch normalizes
+        expect = (x - mean) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(np.asarray(y), expect, atol=1e-4)
+        # running stats: torch semantics, Bessel n = SUBSAMPLED count
+        n = xs.size // 3
+        unbiased = var * n / (n - 1)
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["mean"]), 0.1 * mean, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["var"]),
+            0.9 + 0.1 * unbiased,
+            atol=1e-5,
+        )
+
+    def test_k1_matches_default_module(self):
+        from rot_mvgaze_tpu.models.norm import TorchBatchNorm
+
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(4, 2, 2, 5)).astype(np.float32)
+        )
+        a = TorchBatchNorm(use_running_average=False)
+        b = TorchBatchNorm(use_running_average=False, stat_subsample=1)
+        v = a.init(jax.random.PRNGKey(0), x)
+        ya, _ = a.apply(v, x, mutable=["batch_stats"])
+        yb, _ = b.apply(v, x, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+    def test_model_trains_with_subsample(self):
+        model = FeatRotationSymm(
+            backbone_depth=18, num_iter=1, bn_stat_subsample=2
+        )
+        data = _data(batch=4)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, data)
+        out, _ = model.apply(
+            variables, data, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert np.isfinite(np.asarray(out["pred_gaze"])).all()
+
+    def test_too_few_rows_rejected(self):
+        from rot_mvgaze_tpu.models.norm import TorchBatchNorm
+
+        x = jnp.zeros((3, 2, 2, 4))
+        bn = TorchBatchNorm(use_running_average=False, stat_subsample=2)
+        with pytest.raises(ValueError, match="batch rows"):
+            bn.init(jax.random.PRNGKey(0), x)
+
+    def test_pallas_bn_combination_rejected(self):
+        model = resnet18(use_pallas_bn=True, bn_stat_subsample=2)
+        with pytest.raises(ValueError, match="TorchBatchNorm path"):
+            model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((4, 32, 32, 3)),
+                train=True,
+            )
+
+    def test_cli_flag_threads_to_model(self):
+        from rot_mvgaze_tpu.cli.main import get_parser
+
+        args, _ = get_parser().parse_known_args(
+            ["--exp_name", "xgaze", "--bn_stat_subsample", "4"]
+        )
+        assert args.bn_stat_subsample == 4
