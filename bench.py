@@ -77,6 +77,10 @@ def main() -> None:
         # ghost-stat BN experiment (docs/PERF.md r3): stats from every k-th
         # batch row; 1 = exact reference semantics (shipped default)
         bn_stat_subsample=int(os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")),
+        # both views through the backbone as ONE 256-image batch (merges
+        # the per-view BN train stats — opt-in deviation; r1 measured
+        # neutral, re-measured r3 after the bf16-aug/key-folding changes)
+        fuse_views=os.environ.get("BENCH_FUSE_VIEWS", "0") == "1",
     )
     metrics = IterationLoss(
         loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
