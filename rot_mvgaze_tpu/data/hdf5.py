@@ -21,11 +21,7 @@ from typing import Any, Dict, List, Sequence
 
 import numpy as np
 
-from rot_mvgaze_tpu.data.pairing import (
-    PairIndex,
-    build_pair_index,
-    build_pair_index_reference,
-)
+from rot_mvgaze_tpu.data.pairing import PairIndex, resolve_pair_index
 
 try:
     import h5py
@@ -85,16 +81,10 @@ class GazeDataset:
             with h5py.File(p, "r", swmr=True) as f:
                 sizes.append(f["face_patch"].shape[0])
         self.file_sizes = sizes
-        if pair_index is not None:
-            self.idx_to_kv = list(pair_index)
-        elif pairing == "reference":
-            self.idx_to_kv = build_pair_index_reference(
-                sizes, camera_tag, rng=pair_rng, seed=seed
-            )
-        elif pairing == "rng":
-            self.idx_to_kv = build_pair_index(sizes, camera_tag, seed=seed)
-        else:
-            raise ValueError(f"unknown pairing mode: {pairing!r}")
+        self.idx_to_kv = resolve_pair_index(
+            sizes, camera_tag, pairing=pairing, pair_rng=pair_rng,
+            seed=seed, pair_index=pair_index,
+        )
 
         # Lazy per-thread archive handles (SWMR lets concurrent readers share
         # the files, mirroring /root/reference/dataset/gaze.py:54-56,99-103).

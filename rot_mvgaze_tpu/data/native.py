@@ -24,10 +24,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from rot_mvgaze_tpu.data.packed import PackedFile, pack_dataset
-from rot_mvgaze_tpu.data.pairing import (
-    build_pair_index,
-    build_pair_index_reference,
-)
+from rot_mvgaze_tpu.data.pairing import resolve_pair_index
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "loader.cpp")
@@ -207,19 +204,13 @@ class PackedGazeDataset:
         self.stereo = stereo
         self._np_files = [PackedFile(p) for p in self.paths]
         sizes = [f.n for f in self._np_files]
-        # Same pairing contract as GazeDataset (rot_mvgaze_tpu/data/hdf5.py);
-        # the CLI passes pair_index from the h5 datasets so native and h5
-        # paths are guaranteed index-identical.
-        if pair_index is not None:
-            self.idx_to_kv = list(pair_index)
-        elif pairing == "reference":
-            self.idx_to_kv = build_pair_index_reference(
-                sizes, camera_tag, rng=pair_rng, seed=seed
-            )
-        elif pairing == "rng":
-            self.idx_to_kv = build_pair_index(sizes, camera_tag, seed=seed)
-        else:
-            raise ValueError(f"unknown pairing mode: {pairing!r}")
+        # Same pairing contract as GazeDataset (shared dispatch in
+        # data/pairing.py); the CLI passes pair_index from the h5 datasets
+        # so native and h5 paths are guaranteed index-identical.
+        self.idx_to_kv = resolve_pair_index(
+            sizes, camera_tag, pairing=pairing, pair_rng=pair_rng,
+            seed=seed, pair_index=pair_index,
+        )
         self.pool: Optional[NativePool] = None
         if use_native and NativePool.available():
             self.pool = NativePool(self.paths)

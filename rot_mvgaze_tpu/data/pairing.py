@@ -118,6 +118,34 @@ def build_pair_index_reference(
     return index
 
 
+def resolve_pair_index(
+    file_sizes: Sequence[int],
+    camera_tag: str,
+    pairing: str = "reference",
+    pair_rng: Optional[_stdlib_random.Random] = None,
+    seed: int = 0,
+    pair_index: Optional[PairIndex] = None,
+    num_cameras: int = NUM_CAMERAS,
+) -> PairIndex:
+    """The shared pairing-mode dispatch used by both dataset constructors
+    (``GazeDataset`` and ``PackedGazeDataset``): an explicit ``pair_index``
+    wins, else ``pairing`` selects ``"reference"`` (bit-exact replay, see
+    :func:`build_pair_index_reference`) or ``"rng"`` (independent
+    seeded-numpy mode)."""
+    if pair_index is not None:
+        return list(pair_index)
+    if pairing == "reference":
+        return build_pair_index_reference(
+            file_sizes, camera_tag, rng=pair_rng, seed=seed,
+            num_cameras=num_cameras,
+        )
+    if pairing == "rng":
+        return build_pair_index(
+            file_sizes, camera_tag, seed=seed, num_cameras=num_cameras
+        )
+    raise ValueError(f"unknown pairing mode: {pairing!r}")
+
+
 def reference_pair_indices(
     train_file_sizes: Sequence[int],
     train_camera_tag: str,

@@ -223,6 +223,11 @@ def _pallas_bn_flags(use_pallas_bn) -> tuple:
     meet — the r3 bounded attempt at the `add_add_fusion` pass traffic
     identified in docs/PERF.md; the body BNs stay inside XLA's fusion
     domain)."""
+    if use_pallas_bn not in (False, True, "residual"):
+        raise ValueError(
+            f"use_pallas_bn must be False, True, or 'residual', got "
+            f"{use_pallas_bn!r}"
+        )
     body = use_pallas_bn is True
     tail = use_pallas_bn in (True, "residual")
     return body, tail

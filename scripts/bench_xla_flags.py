@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -102,6 +103,11 @@ def run_one(label: str, options: dict, timeout: int = 1500):
         )
     except subprocess.TimeoutExpired:
         return {"label": label, "options": options, "error": "timeout"}
+    finally:
+        # the isolation only needs the cache during the child process;
+        # leaking one compiled-flagship-executable cache per candidate
+        # per sweep would fill /tmp over repeated sweeps
+        shutil.rmtree(cache, ignore_errors=True)
     wall = time.time() - t0
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if out.returncode != 0 or not lines:

@@ -75,7 +75,8 @@ def main() -> int:
 
         cfg = SimpleNamespace(
             mode="train", exp_name="pairing_sensitivity",
-            output_dir=tempfile.mkdtemp(prefix="pairing_sens_"),
+            output_dir=os.path.join(root, "_logs"),  # inside the
+            # TemporaryDirectory so checkpoints/TB events are cleaned up
             ckpt_resume=None, print_freq=10**9, seed=0,
             batch_size=args.batch_size, test_batch_size=args.batch_size,
             epochs=args.epochs, save_epoch=10**9,

@@ -373,3 +373,18 @@ class TestBnStatSubsample:
             ["--exp_name", "xgaze", "--bn_stat_subsample", "4"]
         )
         assert args.bn_stat_subsample == 4
+
+
+class TestPallasBnFlagValidation:
+    def test_unknown_mode_rejected(self):
+        from rot_mvgaze_tpu.models.resnet import _pallas_bn_flags
+
+        with pytest.raises(ValueError, match="use_pallas_bn must be"):
+            _pallas_bn_flags("Residual")  # wrong case — not silently off
+
+    def test_known_modes(self):
+        from rot_mvgaze_tpu.models.resnet import _pallas_bn_flags
+
+        assert _pallas_bn_flags(False) == (False, False)
+        assert _pallas_bn_flags(True) == (True, True)
+        assert _pallas_bn_flags("residual") == (False, True)
