@@ -191,7 +191,25 @@ def device_prefetch(
         if sharding is not None:
             from rot_mvgaze_tpu.parallel.mesh import put_sharded
 
-            return jax.tree.map(lambda x: put_sharded(x, sharding), batch)
+            def one(x):
+                x = np.asarray(x)
+                if x.ndim == 0:
+                    # scalars replicate — same rule as parallel.mesh.
+                    # shard_batch; a batch-dim PartitionSpec cannot apply
+                    # to rank-0 (pad_batch passes scalars through, so they
+                    # do reach this path)
+                    mesh = getattr(sharding, "mesh", None)
+                    if mesh is not None:
+                        return jax.device_put(
+                            x,
+                            jax.sharding.NamedSharding(
+                                mesh, jax.sharding.PartitionSpec()
+                            ),
+                        )
+                    return jax.device_put(x)
+                return put_sharded(x, sharding)
+
+            return jax.tree.map(one, batch)
         return jax.tree.map(jax.device_put, batch)
 
     buf: "collections.deque" = collections.deque()

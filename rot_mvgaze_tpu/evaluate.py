@@ -30,6 +30,15 @@ _FORWARD_CACHE_MAX = 8
 
 
 def _eval_forward(model: Any, image_size: int, single_view: bool):
+    # The protocol metric always runs float32 regardless of the model's
+    # training compute dtype (same rule as Trainer.__init__: the headline
+    # error must not absorb bf16 forward rounding) — otherwise a sweep over
+    # a bf16-configured model would report numbers incomparable to
+    # Trainer.test / the BASELINE parity target for the same checkpoint.
+    if getattr(model, "dtype", jnp.float32) != jnp.float32 and hasattr(
+        model, "clone"
+    ):
+        model = model.clone(dtype=jnp.float32)
     try:
         key = (model, image_size, single_view)
         cached = _FORWARD_CACHE.get(key)

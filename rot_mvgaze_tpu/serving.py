@@ -417,6 +417,15 @@ class BatchingPredictor:
                 raise ValueError(
                     f"{k} must be (N, H, W, 3) uint8, got {req[k].shape}"
                 )
+            if req[k].dtype != np.uint8:
+                # dtype is not part of the coalescing key: a float request
+                # merged with uint8 strangers would promote the whole
+                # concatenated batch, retrace a second executable, and get
+                # its pixels /255'd a second time — reject it here instead
+                raise ValueError(
+                    f"{k} must be uint8 (raw pixels, normalized on device), "
+                    f"got {req[k].dtype}"
+                )
             if req[k].shape[0] != n:
                 raise ValueError("all fields must share the batch dimension")
         for k in ("head_pose_0", "head_pose_1"):

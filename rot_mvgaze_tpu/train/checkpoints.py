@@ -44,16 +44,31 @@ def restore_tree(path: str) -> Any:
         return serialization.msgpack_restore(f.read())
 
 
-def restore_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
-    """Restore model variables from either a full TrainState checkpoint or a
-    bare ``{'params', 'batch_stats'}`` checkpoint."""
-    tree = restore_tree(path)
+def restore_state_from_tree(tree: Any, template: Any) -> Any:
+    """Restore into an existing pytree from an already-parsed checkpoint
+    tree (``restore_tree`` output) — lets one file read serve both the
+    variables load and the full-state probe/restore instead of
+    deserializing the same multi-hundred-MB msgpack repeatedly."""
+    return serialization.from_state_dict(template, tree)
+
+
+def variables_from_tree(
+    tree: Any, template: Dict[str, Any], source: str = "checkpoint"
+) -> Dict[str, Any]:
+    """Model variables from a parsed checkpoint tree (full TrainState or
+    bare ``{'params'[, 'batch_stats']}``)."""
     if "params" not in tree:
-        raise ValueError(f"checkpoint at {path} has no 'params': {list(tree)}")
+        raise ValueError(f"{source} has no 'params': {list(tree)}")
     return {
         "params": tree["params"],
         "batch_stats": tree.get("batch_stats", template.get("batch_stats", {})),
     }
+
+
+def restore_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore model variables from either a full TrainState checkpoint or a
+    bare ``{'params', 'batch_stats'}`` checkpoint."""
+    return variables_from_tree(restore_tree(path), template, source=f"checkpoint at {path}")
 
 
 def find_latest_checkpoint(ckpt_dir: str) -> "str | None":

@@ -169,16 +169,21 @@ class Trainer:
         # (/root/reference/trainer.py:45-48 drops optimizer/schedule state).
         if self._resume_path and self._resume_path.endswith(".msgpack"):
             from rot_mvgaze_tpu.train.checkpoints import (
-                restore_state,
+                restore_state_from_tree,
                 restore_tree,
             )
 
-            tree = restore_tree(self._resume_path)
+            # parsed once in _load_checkpoint_variables; fall back to a
+            # fresh read only if that path was skipped
+            tree = getattr(self, "_resume_tree", None)
+            if tree is None:
+                tree = restore_tree(self._resume_path)
             if "opt_state" in tree:
-                self.state = restore_state(self._resume_path, self.state)
+                self.state = restore_state_from_tree(tree, self.state)
                 print(
                     f"restored full training state at step {int(self.state.step)}"
                 )
+            self._resume_tree = None  # free the parsed tree
         if self.mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
 
@@ -299,22 +304,24 @@ class Trainer:
             )
 
             sd = load_torch_state_dict(path)
-            cfg = {
-                k: getattr(self.model, k)
-                for k in (
-                    "backbone_depth",
-                    "num_iter",
-                    "share_weights",
-                    "encode_rotmat",
-                    "share_feature",
-                    "ignore_rotmat",
-                )
-            }
+            from rot_mvgaze_tpu.serving import MODEL_CONFIG_KEYS
+
+            cfg = {k: getattr(self.model, k) for k in MODEL_CONFIG_KEYS}
             converted = convert_rot_mv_state_dict(sd, **cfg)
             return jax.tree.map(jnp.asarray, converted)
-        from rot_mvgaze_tpu.train.checkpoints import restore_variables
+        from rot_mvgaze_tpu.train.checkpoints import (
+            restore_tree,
+            variables_from_tree,
+        )
 
-        return restore_variables(path, init_variables)
+        tree = restore_tree(path)
+        if path.endswith(".msgpack"):
+            # stash the parsed tree so the full-state resume block reuses it
+            # instead of re-reading + re-deserializing the file
+            self._resume_tree = tree
+        return variables_from_tree(
+            tree, init_variables, source=f"checkpoint at {path}"
+        )
 
     # ------------------------------------------------------------------
     def train(self) -> float:
@@ -588,17 +595,9 @@ class Trainer:
 
         from rot_mvgaze_tpu.compat import flax_to_torch_state_dict
 
-        cfg = {
-            k: getattr(self.model, k)
-            for k in (
-                "backbone_depth",
-                "num_iter",
-                "share_weights",
-                "encode_rotmat",
-                "share_feature",
-                "ignore_rotmat",
-            )
-        }
+        from rot_mvgaze_tpu.serving import MODEL_CONFIG_KEYS
+
+        cfg = {k: getattr(self.model, k) for k in MODEL_CONFIG_KEYS}
         variables = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),

@@ -223,3 +223,24 @@ class TestProfilingUtils:
     def test_count_parameters(self):
         params = {"a": {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,))}}
         assert count_parameters(params) == 16
+
+
+def test_batching_predictor_rejects_non_uint8(ckpt_path):
+    """Float images must fail in the caller's thread, not be coalesced into
+    strangers' uint8 batches (dtype is not part of the coalescing shape key;
+    a promoted batch would retrace the executable and double-normalize the
+    float caller's pixels)."""
+    from rot_mvgaze_tpu.serving import BatchingPredictor
+
+    inner = GazePredictor(
+        ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+        image_size=32, dtype=jnp.float32,
+    )
+    bp = BatchingPredictor(inner, max_delay_ms=5.0)
+    try:
+        bad = np.zeros((1, 32, 32, 3), np.float32)
+        hp = np.zeros((1, 2), np.float32)
+        with pytest.raises(ValueError, match="uint8"):
+            bp.predict(bad, bad, hp, hp)
+    finally:
+        bp.close()
