@@ -53,10 +53,26 @@ def test_two_process_dp_trains_and_agrees(tmp_path):
         )
         for i in range(2)
     ]
+    # One shared deadline generous enough for heavily loaded machines: each
+    # worker traces + compiles two jitted graphs on 4 virtual CPU devices,
+    # which measured ~2 min idle but >540 s under CPU oversubscription
+    # (reproduced; this timeout flaked twice in contended full-suite runs).
+    # Both workers run concurrently, so one deadline covers the pair.
+    import time as _time
+
+    deadline = _time.monotonic() + 1500
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(
+                timeout=max(1.0, deadline - _time.monotonic())
+            )
+            outs.append(out)
+    finally:
+        for p in procs:  # never leave an orphaned worker spinning
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
 
