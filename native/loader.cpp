@@ -141,8 +141,30 @@ class Pool {
     f.img = base + img_off;
     f.gaze = reinterpret_cast<const float*>(base + gaze_off);
     f.pose = reinterpret_cast<const float*>(base + pose_off);
-    files_.push_back(f);
-    return int(files_.size()) - 1;
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      // push_back may reallocate files_, which gather workers index without
+      // the lock — drain every in-flight async gather first (cheap: files
+      // are added at dataset construction, gathers run at steady state).
+      // Callers must likewise not race AddFile with a SYNCHRONOUS
+      // rmg_pool_gather from another thread (the Python wrapper adds all
+      // files in its constructor, before any gather).
+      done_cv_.wait(lk, [&] {
+        return queue_.empty() && done_set_.empty() &&
+               done_contig_ == last_ticket_;
+      });
+      // All pool files must share one image geometry: Gather computes the
+      // caller's output offset as s * this-file's img_bytes, and the Python
+      // side sizes the batch buffer from file 0 — mixed dims would silently
+      // interleave/overflow that buffer.
+      if (!files_.empty() &&
+          (f.h != files_[0].h || f.w != files_[0].w || f.c != files_[0].c)) {
+        munmap(mem, st.st_size);
+        return -4;
+      }
+      files_.push_back(f);
+      return int(files_.size()) - 1;
+    }
   }
 
   // Gather n_samples rows; parallelized over a static chunking of samples.

@@ -73,16 +73,21 @@ def _blend(a: jnp.ndarray, b: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
 
 def _jitter_one(img: jnp.ndarray, op: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
     """Apply jitter op {0: brightness, 1: contrast, 2: saturation} to (H,W,C)."""
-    gray = jnp.tensordot(img, _GRAY_W.astype(img.dtype), axes=([-1], [0]))[..., None]
+
+    def _gray(x):
+        # inside the branches so the brightness branch (and the other two
+        # switch arms per fori iteration) never pays the HxWx3 luma pass
+        return jnp.tensordot(x, _GRAY_W.astype(x.dtype), axes=([-1], [0]))[..., None]
 
     def brightness(x):
         return _blend(x, jnp.zeros_like(x), factor)
 
     def contrast(x):
-        return _blend(x, jnp.mean(gray), factor)
+        return _blend(x, jnp.mean(_gray(x)), factor)
 
     def saturation(x):
-        return _blend(x, jnp.broadcast_to(gray, x.shape), factor)
+        g = _gray(x)
+        return _blend(x, jnp.broadcast_to(g, x.shape), factor)
 
     return jax.lax.switch(op, [brightness, contrast, saturation], img)
 
@@ -201,7 +206,10 @@ def random_multi_erasing(
     k_gate, k_dot, k_prop, k_grid = jax.random.split(key, 4)
     dot = jax.random.uniform(k_dot, (), minval=dot_size[0], maxval=dot_size[1])
     prop = jax.random.uniform(k_prop, (), minval=proportion[0], maxval=proportion[1])
-    hs = jnp.floor(1.0 / dot).astype(jnp.int32)
+    # Clamp to the static grid: a dot below 1/_MAX_ERASE_GRID would index
+    # cells >= g, matching NO one-hot column — mask 0, i.e. the whole image
+    # silently erased. Clamping degrades gracefully to the finest grid.
+    hs = jnp.minimum(jnp.floor(1.0 / dot), g).astype(jnp.int32)
 
     # Keep mask per grid cell, nearest-upsampled to pixels via two one-hot
     # selection matmuls (cell-row x grid x cell-col) — MXU-friendly, no

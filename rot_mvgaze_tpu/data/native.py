@@ -102,7 +102,17 @@ class NativePool:
         for p in paths:
             idx = lib.rmg_pool_add(self._pool, p.encode())
             if idx < 0:
-                raise IOError(f"rmg_pool_add failed ({idx}) for {p}")
+                reasons = {
+                    -1: "cannot open/map",
+                    -2: "bad magic or truncated header",
+                    -3: "inconsistent extents (corrupt pack)",
+                    -4: "image dims differ from the pool's first file "
+                        "(all packs in one pool must share one geometry)",
+                }
+                raise IOError(
+                    f"rmg_pool_add failed for {p}: "
+                    f"{reasons.get(idx, f'error {idx}')}"
+                )
             n = ctypes.c_int64()
             h = ctypes.c_int()
             w = ctypes.c_int()

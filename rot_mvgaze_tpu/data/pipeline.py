@@ -197,10 +197,11 @@ def device_prefetch(
                     # scalars replicate — same rule as parallel.mesh.
                     # shard_batch; a batch-dim PartitionSpec cannot apply
                     # to rank-0 (pad_batch passes scalars through, so they
-                    # do reach this path)
+                    # do reach this path). put_sharded, not device_put: a
+                    # multi-process mesh spans non-addressable devices.
                     mesh = getattr(sharding, "mesh", None)
                     if mesh is not None:
-                        return jax.device_put(
+                        return put_sharded(
                             x,
                             jax.sharding.NamedSharding(
                                 mesh, jax.sharding.PartitionSpec()

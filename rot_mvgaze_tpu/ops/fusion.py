@@ -142,11 +142,14 @@ def rotate_concat_matmul_relu(img_feat, rot_feat, rot, w1, b1):
 
 def _fwd(img_feat, rot_feat, rot, w1, b1):
     h = _rotate_concat_matmul_relu_impl(img_feat, rot_feat, rot, w1, b1)
-    return h, (img_feat, rot_feat, rot, w1, h)
+    # b1's DTYPE rides along so the backward can emit a cotangent matching
+    # the primal aval (custom_vjp rejects a mismatched dtype at trace time;
+    # hard-coding f32 only worked for callers that pre-cast the bias)
+    return h, (img_feat, rot_feat, rot, w1, jnp.zeros((), b1.dtype), h)
 
 
 def _bwd(res, g):
-    img_feat, rot_feat, rot, w1, h = res
+    img_feat, rot_feat, rot, w1, b1_proto, h = res
     d = img_feat.shape[1]
     v = rot_feat.shape[2]
     g = jnp.where(h > 0, g, 0.0).astype(img_feat.dtype)
@@ -172,7 +175,7 @@ def _bwd(res, g):
         rot_feat.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     ).astype(rot.dtype)
-    return dimg, dfeat, drot, dw1.astype(w1.dtype), db1.astype(jnp.float32)
+    return dimg, dfeat, drot, dw1.astype(w1.dtype), db1.astype(b1_proto.dtype)
 
 
 rotate_concat_matmul_relu.defvjp(_fwd, _bwd)

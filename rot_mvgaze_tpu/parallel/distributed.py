@@ -52,7 +52,11 @@ def initialize(
         # pod job to N independent single-host runs would train garbage with
         # no error. If the caller or environment explicitly requested a
         # cluster, re-raise.
-        cluster_requested = coordinator_address is not None or any(
+        cluster_requested = (
+            coordinator_address is not None
+            or num_processes is not None
+            or process_id is not None
+        ) or any(
             _os.environ.get(k)
             for k in (
                 "JAX_COORDINATOR_ADDRESS",
@@ -89,10 +93,11 @@ def host_shard(n: int) -> Tuple[int, int]:
 
 
 def local_batch_to_global(batch, mesh):
-    """Assemble a globally-sharded batch from this host's local shard."""
-    from rot_mvgaze_tpu.parallel.mesh import batch_sharding
+    """Assemble a globally-sharded batch from this host's local shard.
 
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
-    )
+    Delegates to ``mesh.shard_batch`` — one implementation of the
+    single-vs-multi-process placement rule (and of scalar replication), not
+    two that can drift."""
+    from rot_mvgaze_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(batch, mesh)

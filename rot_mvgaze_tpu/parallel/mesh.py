@@ -37,11 +37,12 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
-            return jax.device_put(x, replicated_sharding(mesh))
         # put_sharded handles multi-process meshes (local-shard assembly via
         # make_array_from_process_local_data); plain device_put would raise
-        # on a sharding that spans non-addressable devices.
+        # on a sharding that spans non-addressable devices — scalars
+        # included (they replicate: local value == global value).
+        if x.ndim == 0:
+            return put_sharded(x, replicated_sharding(mesh))
         return put_sharded(x, bs)
 
     return jax.tree.map(put, batch)

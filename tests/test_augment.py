@@ -160,3 +160,20 @@ class TestTrainPipeline:
         out = np.asarray(train_preprocess(jax.random.PRNGKey(0), img, 32))
         # identical inputs must get different augmentations per sample
         assert not np.allclose(out[0], out[1])
+
+
+def test_multi_erasing_tiny_dot_size_clamps_to_grid():
+    """dot_size below 1/_MAX_ERASE_GRID must clamp to the finest grid, not
+    silently erase the whole image (out-of-range cell indices match no
+    one-hot column -> mask 0)."""
+    import jax
+
+    from rot_mvgaze_tpu.augment.ops import random_multi_erasing
+
+    img = jnp.ones((32, 32, 3), jnp.float32)
+    out = random_multi_erasing(
+        jax.random.PRNGKey(0), img, p=1.0, dot_size=(0.01, 0.02),
+        proportion=(0.1, 0.1),
+    )
+    # with keep-probability 0.9 most pixels must survive
+    assert float(jnp.mean(out)) > 0.5

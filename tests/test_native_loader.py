@@ -110,7 +110,10 @@ class TestNativePool:
             src = str(tmp_path / f"s{i}.h5")
             write_synthetic_h5(src, n_frames=1, image_size=size)
             paths.append(pack_hdf5(src, src + ".pack", "xgaze", "rgb"))
-        with pytest.raises(ValueError, match="image shape"):
+        # rejected at the C++ AddFile layer now (error -4, mixed geometry
+        # would corrupt the gather output layout); the Python shape check
+        # remains as a second line of defense
+        with pytest.raises((IOError, ValueError), match="geometry|image shape"):
             NativePool(paths)
 
     def test_multi_file_gather(self, tmp_path):

@@ -113,3 +113,17 @@ class TestMaxPoolCandidateTree:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(g_ref), atol=1e-6
             )
+
+
+def test_rotate_concat_grad_with_bf16_bias():
+    """The b1 cotangent must match the primal dtype (custom_vjp rejects a
+    mismatch at trace time; the bwd rule used to hard-code float32)."""
+    img, feat, rot, w1, b1 = _inputs(b=128, d=128, v=128, h=256)
+    b1 = b1.astype(jnp.bfloat16)
+
+    def loss(b1):
+        return jnp.sum(rotate_concat_matmul_relu(img, feat, rot, w1, b1))
+
+    g = jax.grad(loss)(b1)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()

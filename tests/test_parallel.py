@@ -142,3 +142,30 @@ class TestTrainerWithMesh:
         # params remained replicated across the mesh
         p = trainer.state.params["backbone"]["conv1"]["kernel"]
         assert p.sharding.is_fully_replicated
+
+
+def test_explicit_cluster_init_failure_raises():
+    """initialize(num_processes=..., process_id=...) is an EXPLICIT cluster
+    request even without coordinator_address: a failed init must raise, not
+    silently degrade to independent single-host runs (which would train
+    garbage at scale). Run in a subprocess so a partial jax.distributed
+    init cannot wedge this process."""
+    import subprocess
+    import sys
+
+    code = (
+        "from rot_mvgaze_tpu.parallel.distributed import initialize\n"
+        "try:\n"
+        "    initialize(num_processes=2, process_id=0)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'explicitly' in str(e), e\n"
+        "    print('RAISED-OK')\n"
+        "else:\n"
+        "    print('SILENT-DEGRADE')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert "RAISED-OK" in out.stdout, (out.stdout, out.stderr[-2000:])
