@@ -402,17 +402,34 @@ def build_experiment(config: SimpleNamespace):
 def main(argv=None) -> int:
     parser = get_parser()
     args, _unknown = parser.parse_known_args(argv)
+    if _unknown:
+        # tolerated for reference-CLI compatibility, but NEVER silently: a
+        # misspelled hyperparameter must not train a long run at defaults
+        print(f"WARNING: ignoring unrecognized arguments: {_unknown}",
+              file=sys.stderr)
 
     now_day = datetime.datetime.now().strftime("%Y-%m-%d")
     now_time = datetime.datetime.now().strftime("%H-%M-%S")
     args.output_dir = osp.join(args.output_dir, now_day, now_time)
     config = SimpleNamespace(**vars(args))
 
+    if not args.exp_name:
+        parser.error("--exp_name is required (e.g. xgaze2mpiinv_known)")
+    # Validate BEFORE build_experiment: these used to fire after the full
+    # (expensive) dataset-pack and model build. The Trainer resolves
+    # --auto_resume_dir to the newest checkpoint itself, so test mode needs
+    # EITHER checkpoint source — not ckpt_resume alone.
+    if config.mode == "test" and not (
+        config.ckpt_resume or getattr(config, "auto_resume_dir", None)
+    ):
+        parser.error(
+            "--mode test requires --ckpt_resume CKPT (or --auto_resume_dir DIR)"
+        )
+
     trainer = build_experiment(config)
     if config.mode == "train":
         trainer.train()
     else:
-        assert config.ckpt_resume is not None, "ckpt_resume is None"
         trainer.test(-1)
         if getattr(config, "test_breakdown", False):
             trainer.test_breakdown()

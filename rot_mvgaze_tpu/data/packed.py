@@ -57,7 +57,12 @@ def pack_hdf5(
         # crash/preemption mid-pack must never leave a truncated file at the
         # final path — its mtime would pass the freshness check and the
         # mmap consumers would read past EOF (SIGBUS in the C++ gather).
-        tmp_path = f"{out_path}.tmp.{os.getpid()}"
+        # uuid, not pid: on a SHARED cache dir, multi-host jobs pack
+        # concurrently and containerized hosts commonly share namespaced
+        # PIDs — two writers on one tmp file would break the atomicity.
+        import uuid
+
+        tmp_path = f"{out_path}.tmp.{uuid.uuid4().hex}"
         try:
             with open(tmp_path, "wb") as out:
                 out.write(MAGIC)

@@ -38,7 +38,16 @@ class StereoL1Loss:
     @property
     def _loss_fn(self) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         # 'angular_error' -> angular, mirroring the hardcoded GazeLoss
-        # construction at /root/reference/losses/stereo_loss.py:37-39.
+        # construction at /root/reference/losses/stereo_loss.py:37-39 (the
+        # reference ignores other values SILENTLY; refuse them loudly
+        # instead — a metric sweep must not train identical angular runs).
+        if self.distance_metric != "angular_error":
+            raise ValueError(
+                f"StereoL1Loss only implements "
+                f"distance_metric='angular_error' (the reference hardcodes "
+                f"it too); got {self.distance_metric!r}. Use "
+                f"losses.make_gaze_loss for other metrics."
+            )
         return make_gaze_loss("angular")
 
     def __call__(self, data: Dict[str, Any]) -> jnp.ndarray:

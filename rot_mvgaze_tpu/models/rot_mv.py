@@ -321,6 +321,13 @@ class FeatRotationSymm(nn.Module):
 
     def setup(self) -> None:
         assert not (self.ignore_rotmat and self.encode_rotmat)
+        if self.fuse_views and self.bn_stat_subsample > 1:
+            raise ValueError(
+                "fuse_views=True stacks the batch as [view0; view1], so "
+                "bn_stat_subsample's contiguous-prefix slice would compute "
+                "BN statistics from view-0 rows ONLY (systematic, not the "
+                "documented i.i.d. subsample). Use one or the other."
+            )
         backbone_ctor = BACKBONES[self.backbone_depth]
         self.backbone = backbone_ctor(
             dtype=self.dtype,

@@ -14,11 +14,18 @@ import numpy as np
 
 
 def pad_rows(x: np.ndarray, target: int) -> np.ndarray:
-    """Pad a (N, ...) array to ``target`` rows by repeating the last row."""
+    """Pad a (N>0, ...) array to ``target`` rows by repeating the last row."""
     x = np.asarray(x)
     pad = target - x.shape[0]
     if pad <= 0:
         return x
+    if x.shape[0] == 0:
+        # repeating the last row of nothing would silently return 0 rows
+        # and hand a fixed-shape executable a degenerate batch downstream
+        raise ValueError(
+            f"cannot pad an empty array to {target} rows (empty per-host "
+            f"shard? dataset smaller than the process count?)"
+        )
     return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
 
 

@@ -34,6 +34,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+# request-body cap: generous for batch-256 224^2 2-view uint8 (~80 MB)
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -79,6 +82,18 @@ def build_handler(predictor, stats):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                # Cap the body BEFORE reading: the declared length (and a
+                # zip-bomb npz, decompressed in full by np.load) would
+                # otherwise allocate unboundedly ahead of any validation.
+                if length > MAX_BODY_BYTES:
+                    self._reply(
+                        413,
+                        json.dumps({
+                            "error": f"request body {length} bytes exceeds "
+                                     f"limit {MAX_BODY_BYTES}"
+                        }).encode(),
+                    )
+                    return
                 data = np.load(io.BytesIO(self.rfile.read(length)))
                 t0 = time.perf_counter()
                 pred = predictor.predict(
@@ -98,6 +113,13 @@ def build_handler(predictor, stats):
             except KeyError as e:
                 self._reply(
                     400, json.dumps({"error": f"missing field {e}"}).encode()
+                )
+            except ValueError as e:
+                # shape/dtype validation from BatchingPredictor: the CLIENT
+                # is at fault — 400, not 500 (monitoring must not count
+                # malformed requests as server errors)
+                self._reply(
+                    400, json.dumps({"error": f"bad request: {e}"}).encode()
                 )
             except Exception as e:  # surface the error to the client
                 self._reply(

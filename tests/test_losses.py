@@ -168,3 +168,16 @@ class TestAngularGradStability:
         assert float(gaze_angular_loss(y, y)) < 0.1  # floor ~0.08 deg
         far = float(gaze_angular_loss(y + 0.5, y))
         assert far > 10
+
+
+def test_stereo_loss_rejects_unimplemented_metric():
+    """The reference silently ignores distance_metric (stereo_loss.py:37-39
+    hardcodes angular); we refuse loudly instead of training identical runs
+    in a metric sweep."""
+    loss = StereoL1Loss(distance_metric="l2")
+    data = {
+        "pred_gaze_0": jnp.zeros((2, 2)), "pred_gaze_1": jnp.zeros((2, 2)),
+        "gt_gaze": jnp.zeros((2, 2)), "gt_gaze_1": jnp.zeros((2, 2)),
+    }
+    with pytest.raises(ValueError, match="angular_error"):
+        loss(data)

@@ -388,3 +388,13 @@ class TestPallasBnFlagValidation:
         assert _pallas_bn_flags(False) == (False, False)
         assert _pallas_bn_flags(True) == (True, True)
         assert _pallas_bn_flags("residual") == (False, True)
+
+
+def test_fuse_views_with_stat_subsample_rejected():
+    """fuse_views stacks [view0; view1]; a prefix stat subsample would see
+    view-0 rows only — the combination must refuse, not silently bias BN."""
+    m = FeatRotationSymm(
+        backbone_depth=18, num_iter=1, fuse_views=True, bn_stat_subsample=2
+    )
+    with pytest.raises(ValueError, match="view-0"):
+        m.init({"params": jax.random.PRNGKey(0)}, _data(batch=4))

@@ -77,3 +77,12 @@ class TestHostShard:
     def test_single_process_covers_all(self):
         start, stop = host_shard(100)
         assert (start, stop) == (0, 100)
+
+
+def test_pad_rows_empty_input_raises():
+    import pytest
+
+    from rot_mvgaze_tpu.utils.padding import pad_rows
+
+    with pytest.raises(ValueError, match="empty"):
+        pad_rows(np.zeros((0, 3), np.float32), 4)
