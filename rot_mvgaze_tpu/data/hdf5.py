@@ -100,10 +100,18 @@ class GazeDataset:
     def _archives(self) -> List["h5py.File"]:
         if getattr(self._local, "generation", -1) != self._generation:
             handles = [h5py.File(p, "r", swmr=True) for p in self.file_paths]
-            self._local.archives = handles
-            self._local.generation = self._generation
+            # Register BEFORE publishing to this thread, with the generation
+            # snapshotted under the same lock close() swaps the registry
+            # under: registering after (the old order) let a close() racing
+            # between the two steps miss these handles — they landed in the
+            # NEW registry while this thread kept the OLD generation, so the
+            # next access reopened fresh ones and the registered set leaked
+            # until a further close().
             with self._handles_lock:
+                gen = self._generation
                 self._open_handles.extend(handles)
+            self._local.archives = handles
+            self._local.generation = gen
         return self._local.archives
 
     def __len__(self) -> int:

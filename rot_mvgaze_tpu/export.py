@@ -149,6 +149,29 @@ class AotGazePredictor:
             self.variables = jax.tree.map(
                 jnp.asarray, restore_variables(checkpoint, {})
             )
+        # Align checkpoint leaf dtypes with the artifact's traced avals:
+        # exported.call validates avals EXACTLY, so e.g. a float32 converted
+        # .pth.tar against a bf16-param artifact would fail deep inside
+        # jax.export on every predict. Cast here (and fail clearly on a
+        # structural mismatch instead).
+        leaves, treedef = jax.tree.flatten(self.variables)
+        var_avals = self.exported.in_avals[: len(leaves)]
+        if len(self.exported.in_avals) != len(leaves) + 4:
+            raise ValueError(
+                f"artifact expects {len(self.exported.in_avals) - 4} "
+                f"variable leaves, checkpoint has {len(leaves)} — wrong "
+                "checkpoint for this artifact?"
+            )
+        for i, (leaf, aval) in enumerate(zip(leaves, var_avals)):
+            if tuple(leaf.shape) != tuple(aval.shape):
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {tuple(leaf.shape)}, "
+                    f"artifact expects {tuple(aval.shape)} — wrong "
+                    "checkpoint for this artifact?"
+                )
+            if leaf.dtype != aval.dtype:
+                leaves[i] = leaf.astype(aval.dtype)
+        self.variables = jax.tree.unflatten(treedef, leaves)
         self._call = jax.jit(self.exported.call)
 
     def predict(

@@ -252,6 +252,14 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.groups != 1 or self.base_width != 64:
+            # torchvision raises here too (BasicBlock only supports
+            # groups=1/base_width=64); silently ignoring the fields would
+            # train a plain net under a grouped/wide config
+            raise ValueError(
+                "BasicBlock only supports groups=1 and base_width=64; "
+                f"got groups={self.groups}, base_width={self.base_width}"
+            )
         body_pallas, tail_pallas = _pallas_bn_flags(self.use_pallas_bn)
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
@@ -381,6 +389,11 @@ class ResNet(nn.Module):
             raise ValueError(
                 "use_pallas_bn has no cross-replica batch-stat sync; "
                 "use the default BN path under data parallelism"
+            )
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"ResNet configured for in_channels={self.in_channels}, "
+                f"got input with {x.shape[-1]} channels"
             )
         x = x.astype(self.dtype)
         if self.int8 and not train:

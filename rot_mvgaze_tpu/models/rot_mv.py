@@ -321,6 +321,16 @@ class FeatRotationSymm(nn.Module):
 
     def setup(self) -> None:
         assert not (self.ignore_rotmat and self.encode_rotmat)
+        if self.use_pallas_fusion and (
+            self.ignore_rotmat or self.encode_rotmat or self.share_feature
+        ):
+            raise ValueError(
+                "use_pallas_fusion covers only the default fuser path "
+                "(ImageFeatFuser with a rotation input); with "
+                "ignore_rotmat/encode_rotmat/share_feature the flag would "
+                "be silently inert — benchmark conclusions drawn from it "
+                "would measure the plain XLA path"
+            )
         if self.fuse_views and self.bn_stat_subsample > 1:
             raise ValueError(
                 "fuse_views=True stacks the batch as [view0; view1], so "

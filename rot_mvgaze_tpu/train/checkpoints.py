@@ -59,6 +59,15 @@ def variables_from_tree(
     bare ``{'params'[, 'batch_stats']}``)."""
     if "params" not in tree:
         raise ValueError(f"{source} has no 'params': {list(tree)}")
+    if not tree.get("batch_stats") and template.get("batch_stats"):
+        # Silently substituting init-time BN statistics (mean=0, var=1)
+        # would make eval-mode forwards garbage with no warning — the
+        # reference's strict torch load fails loudly on missing keys too.
+        raise ValueError(
+            f"{source} has no 'batch_stats' but the model uses BatchNorm; "
+            "refusing to pair trained params with freshly-initialized "
+            "statistics. Save/convert a checkpoint that includes them."
+        )
     return {
         "params": tree["params"],
         "batch_stats": tree.get("batch_stats", template.get("batch_stats", {})),

@@ -398,3 +398,30 @@ def test_fuse_views_with_stat_subsample_rejected():
     )
     with pytest.raises(ValueError, match="view-0"):
         m.init({"params": jax.random.PRNGKey(0)}, _data(batch=4))
+
+
+def test_basic_block_rejects_grouped_config():
+    """torchvision raises for grouped/wide BasicBlock nets; silently
+    training a plain net under that config would be worse."""
+    from rot_mvgaze_tpu.models.resnet import resnet18
+
+    m = resnet18(groups=32, width_per_group=4)
+    with pytest.raises(ValueError, match="groups=1"):
+        m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)))
+
+
+def test_resnet_enforces_in_channels():
+    from rot_mvgaze_tpu.models.resnet import resnet18
+
+    m = resnet18()
+    with pytest.raises(ValueError, match="in_channels=3"):
+        m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 1)))
+
+
+def test_pallas_fusion_inert_ablations_rejected():
+    m = FeatRotationSymm(
+        backbone_depth=18, num_iter=1, ignore_rotmat=True,
+        use_pallas_fusion=True,
+    )
+    with pytest.raises(ValueError, match="silently inert"):
+        m.init({"params": jax.random.PRNGKey(0)}, _data())

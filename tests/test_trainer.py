@@ -323,3 +323,17 @@ class TestXlaCompilerOptions:
         assert json.loads(args.xla_compiler_options) == {
             "xla_tpu_autotune_dots": "true"
         }
+
+
+def test_params_only_checkpoint_rejected_for_bn_model():
+    """Pairing trained params with freshly-initialized BN statistics makes
+    eval garbage silently; the load must refuse instead."""
+    from rot_mvgaze_tpu.train.checkpoints import variables_from_tree
+
+    tree = {"params": {"w": np.zeros(3)}}
+    template = {"params": {}, "batch_stats": {"bn": {"mean": np.zeros(3)}}}
+    with pytest.raises(ValueError, match="batch_stats"):
+        variables_from_tree(tree, template)
+    # a genuinely BN-free template still loads fine
+    out = variables_from_tree(tree, {"params": {}, "batch_stats": {}})
+    assert out["batch_stats"] == {}
