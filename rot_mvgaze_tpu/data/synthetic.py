@@ -48,6 +48,7 @@ def write_synthetic_dataset(
     n_frames: int = 4,
     image_size: int = 32,
     seed: int = 0,
+    n_cameras: int = 18,
 ) -> list:
     """Write several subject archives under ``root``; returns the filenames."""
     subjects = subjects if subjects is not None else ["s00.h5", "s01.h5"]
@@ -55,6 +56,7 @@ def write_synthetic_dataset(
         write_synthetic_h5(
             os.path.join(root, name),
             n_frames=n_frames,
+            n_cameras=n_cameras,
             image_size=image_size,
             seed=seed + i,
         )

@@ -152,7 +152,14 @@ def _apply(x2, res2, a, b, relu):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_reduce_kernel(g_ref, y_ref, x_ref, m_ref, r_ref, sg_ref, sgx_ref, *, relu):
+def _bwd_reduce_kernel(*refs, relu):
+    # with relu the mask is recomputed from y; without, y is NOT an operand
+    # at all (streaming it was one full wasted HBM pass per backward on an
+    # op whose purpose is bandwidth recovery)
+    if relu:
+        g_ref, y_ref, x_ref, m_ref, r_ref, sg_ref, sgx_ref = refs
+    else:
+        g_ref, x_ref, m_ref, r_ref, sg_ref, sgx_ref = refs
     i = pl.program_id(0)
     g = g_ref[:].astype(jnp.float32)
     if relu:
@@ -174,13 +181,15 @@ def _bwd_reduce_kernel(g_ref, y_ref, x_ref, m_ref, r_ref, sg_ref, sgx_ref, *, re
 
 def _bwd_reduce(g2, y2, x2, mean, rstd, relu):
     n, c = x2.shape
-    rows = _chunk_rows(n, c, x2.dtype.itemsize, n_operands=3)
+    n_ops = 3 if relu else 2
+    rows = _chunk_rows(n, c, x2.dtype.itemsize, n_operands=n_ops)
     blk = pl.BlockSpec((rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    operands = (g2, y2, x2, mean, rstd) if relu else (g2, x2, mean, rstd)
     return pl.pallas_call(
         partial(_bwd_reduce_kernel, relu=relu),
         grid=(n // rows,),
-        in_specs=[blk, blk, blk, vec, vec],
+        in_specs=[blk] * (3 if relu else 2) + [vec, vec],
         out_specs=(
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -190,7 +199,7 @@ def _bwd_reduce(g2, y2, x2, mean, rstd, relu):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
         interpret=_interpret(),
-    )(g2, y2, x2, mean, rstd)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -198,9 +207,11 @@ def _bwd_reduce(g2, y2, x2, mean, rstd, relu):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dx_kernel(
-    g_ref, y_ref, x_ref, m_ref, r_ref, k_ref, mg_ref, mgx_ref, dx_ref, *, relu
-):
+def _bwd_dx_kernel(*refs, relu):
+    if relu:
+        g_ref, y_ref, x_ref, m_ref, r_ref, k_ref, mg_ref, mgx_ref, dx_ref = refs
+    else:
+        g_ref, x_ref, m_ref, r_ref, k_ref, mg_ref, mgx_ref, dx_ref = refs
     g = g_ref[:].astype(jnp.float32)
     if relu:
         g = jnp.where(y_ref[:].astype(jnp.float32) > 0.0, g, 0.0)
@@ -211,17 +222,20 @@ def _bwd_dx_kernel(
 
 def _bwd_dx(g2, y2, x2, mean, rstd, scale_rstd, mg, mgx, relu):
     n, c = x2.shape
-    rows = _chunk_rows(n, c, x2.dtype.itemsize, n_operands=4)
+    n_ops = 4 if relu else 3
+    rows = _chunk_rows(n, c, x2.dtype.itemsize, n_operands=n_ops)
     blk = pl.BlockSpec((rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    operands = ((g2, y2, x2, mean, rstd, scale_rstd, mg, mgx) if relu
+                else (g2, x2, mean, rstd, scale_rstd, mg, mgx))
     return pl.pallas_call(
         partial(_bwd_dx_kernel, relu=relu),
         grid=(n // rows,),
-        in_specs=[blk, blk, blk, vec, vec, vec, vec, vec],
+        in_specs=[blk] * (3 if relu else 2) + [vec] * 5,
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((n, c), x2.dtype),
         interpret=_interpret(),
-    )(g2, y2, x2, mean, rstd, scale_rstd, mg, mgx)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -265,20 +279,28 @@ def _fwd_impl(x, scale, bias, residual, eps, relu):
 def _fwd_vjp(x, scale, bias, residual, eps, relu):
     y, mean, var, rstd = _fwd_impl(x, scale, bias, residual, eps, relu)
     has_res = residual is not None
-    return (y, mean, var), (x, scale, y, mean.reshape(1, -1), rstd, has_res)
+    # bias's DTYPE rides along so dbias matches the primal aval (custom_vjp
+    # rejects a mismatched cotangent dtype; scale/bias need not share one).
+    # y is saved ONLY for the relu mask — without relu a dtype proto stands
+    # in, so the full activation is not kept alive as a residual.
+    return (y, mean, var), (
+        x, scale, jnp.zeros((), bias.dtype),
+        y if relu else jnp.zeros((), y.dtype),
+        mean.reshape(1, -1), rstd, has_res,
+    )
 
 
 def _bwd_vjp(eps, relu, res, cotangents):
     g, gmean, gvar = cotangents
-    x, scale, y, mean, rstd, has_res = res
+    x, scale, bias_proto, y, mean, rstd, has_res = res
     c = x.shape[-1]
     n = x.size // c
     x2 = x.reshape(-1, c)
-    y2 = y.reshape(-1, c)
+    y2 = y.reshape(-1, c) if relu else None  # kernels take no y without relu
     g2 = g.reshape(-1, c)
     sg, sgx = _bwd_reduce(g2, y2, x2, mean, rstd, relu)
     dscale = sgx.reshape(-1).astype(scale.dtype)
-    dbias = sg.reshape(-1).astype(scale.dtype)
+    dbias = sg.reshape(-1).astype(bias_proto.dtype)
     scale_rstd = (scale.astype(jnp.float32).reshape(1, c) * rstd).astype(
         jnp.float32
     )

@@ -45,6 +45,20 @@ class StepTimer:
     def stop(self, result: Any = None) -> float:
         if result is not None:
             jax.block_until_ready(result)
+        elif not getattr(self, "_warned_no_fence", False):
+            # without a result to fence, JAX's async dispatch means this
+            # records ENQUEUE time (microseconds), not step time — warn
+            # once instead of silently reporting inflated throughput
+            import warnings
+
+            warnings.warn(
+                "StepTimer.stop() called without a result to fence; with "
+                "async dispatch the recorded time excludes device "
+                "execution. Pass the step's output (or any array it "
+                "produced) to measure real step time.",
+                stacklevel=2,
+            )
+            self._warned_no_fence = True
         assert self._t0 is not None, "stop() without start()"
         dt = time.perf_counter() - self._t0
         self._t0 = None

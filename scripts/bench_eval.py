@@ -46,7 +46,14 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     serve_batch = int(os.environ.get("SERVE_BATCH", "8"))
     raw = os.environ.get("BENCH_INT8", "0")
-    int8 = {"0": False, "1": True}.get(raw, raw)  # "static" passes through
+    allowed = {"0": False, "1": True, "static": "static"}
+    if raw not in allowed:
+        raise SystemExit(
+            f"BENCH_INT8 must be 0, 1, or static; got {raw!r} (a typo'd "
+            "value used to flow into the model config verbatim and "
+            "silently bench the dynamic path)"
+        )
+    int8 = allowed[raw]
     size = 224
 
     model = FeatRotationSymm(
@@ -73,16 +80,28 @@ def main() -> None:
         )
 
     @jax.jit
-    def fwd(variables, b, hp_0):
+    def fwd(variables, b, hp_0, step):
         data = {
             "img_0": eval_preprocess(b["img_0"], size),
             "img_1": eval_preprocess(b["img_1"], size),
-            # chain: previous prediction perturbs this call's head pose,
-            # making every dispatch distinct and data-dependent
-            "rot_0": rotation_matrix_2d(b["hp_0"] + 0.01 * jnp.tanh(hp_0)),
+            # chain: previous prediction perturbs this call's head pose
+            # (data-dependent ordering) PLUS a distinct step scalar — the
+            # 0.01*tanh feedback alone is a ~1% contraction whose iterates
+            # converge to a bitwise f32 fixed point after a few calls,
+            # re-enabling the identical-dispatch short-circuit this chain
+            # exists to defeat; the step term guarantees distinct inputs
+            "rot_0": rotation_matrix_2d(
+                b["hp_0"] + 0.01 * jnp.tanh(hp_0) + 0.001 * step
+            ),
             "rot_1": rotation_matrix_2d(b["hp_1"]),
         }
         return model.apply(variables, data, train=False)["pred_gaze"]
+
+    _step_counter = iter(range(10**9))
+
+    def fwd_chained(variables, b, hp_0):
+        # step rides the execute call as a tiny traced scalar argument
+        return fwd(variables, b, hp_0, np.float32(next(_step_counter) % 997))
 
     def fence(x):
         return np.asarray(jax.device_get(x[:1]))
@@ -102,12 +121,12 @@ def main() -> None:
 
     out = jnp.zeros((batch, 2), jnp.float32)
     for _ in range(3):
-        out = fwd(variables, big, out)
+        out = fwd_chained(variables, big, out)
     fence(out)
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        out = fwd(variables, big, out)
+        out = fwd_chained(variables, big, out)
     fence(out)
     dt = time.perf_counter() - t0
     eval_ips = 2 * batch * n_steps / dt
@@ -116,12 +135,12 @@ def main() -> None:
     small = make_batch(serve_batch)
     sout = jnp.zeros((serve_batch, 2), jnp.float32)
     for _ in range(3):
-        sout = fwd(variables, small, sout)
+        sout = fwd_chained(variables, small, sout)
     fence(sout)
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()
-        sout = fwd(variables, small, sout)
+        sout = fwd_chained(variables, small, sout)
         fence(sout)
         lat.append((time.perf_counter() - t0) * 1e3)
     print(

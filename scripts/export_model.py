@@ -63,7 +63,8 @@ def main(argv=None) -> int:
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         int8=args.int8,
     )
-    platforms = [s for s in args.platforms.split(",") if s] or None
+    # strip: a natural "tpu, cpu" must not produce the platform name " cpu"
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()] or None
     exported = export_serving_artifact(
         predictor.model,
         predictor.variables,

@@ -37,8 +37,24 @@ def conv_chain(x, w, n):
         if int8:
             # requantize so the carry stays int8 (cheap elementwise)
             return jnp.clip(y >> 8, -127, 127).astype(jnp.int8)
-        return y * jnp.asarray(1e-2, c.dtype)  # keep bf16 from overflowing
+        # Normalize by the filter's gain so the carry's magnitude is
+        # PRESERVED: a fixed 1e-2 made the chain a ~0.24x/iter contraction
+        # that underflowed bf16 to exact zeros ~70 iterations in, turning
+        # the timed reps into identical all-zero dispatches — the very
+        # short-circuit this chain exists to defeat.
+        return y * inv_gain.astype(c.dtype)
 
+    # traced scalar (computed once per call, outside the loop body): the
+    # filter-gain normalizer that keeps the carry's magnitude constant
+    inv_gain = jax.lax.rsqrt(
+        jnp.sum(w.astype(jnp.float32) ** 2) / w.shape[-1]
+    )
+    if not int8:
+        # renormalize the carry to unit RMS at each chain ENTRY so residual
+        # per-iteration gain error cannot compound across chained calls
+        x = (x.astype(jnp.float32)
+             * jax.lax.rsqrt(jnp.mean(x.astype(jnp.float32) ** 2) + 1e-12)
+             ).astype(x.dtype)
     return lax.fori_loop(0, n, body, x)
 
 
@@ -53,8 +69,15 @@ def dot_chain(a, b, n):
         )
         if int8:
             return jnp.clip(y >> 8, -127, 127).astype(jnp.int8)
-        return y * jnp.asarray(1e-2, c.dtype)
+        return y * inv_gain.astype(c.dtype)  # magnitude-preserving
 
+    inv_gain = jax.lax.rsqrt(
+        jnp.sum(b.astype(jnp.float32) ** 2) / b.shape[-1]
+    )
+    if not int8:
+        a = (a.astype(jnp.float32)
+             * jax.lax.rsqrt(jnp.mean(a.astype(jnp.float32) ** 2) + 1e-12)
+             ).astype(a.dtype)
     return lax.fori_loop(0, n, body, a)
 
 
