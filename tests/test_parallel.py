@@ -30,12 +30,24 @@ class TestMesh:
 
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
-        # reduced config: same assertions/sharding as the driver's flagship
-        # run, ~50x less CPU-mesh compute (the flagship R50/224^2 variant is
-        # exercised by the driver itself and takes ~15 min on this mesh)
+        # The full driver invocation (default args, subprocess, wall-clock
+        # budget) is covered by tests/test_driver_artifacts.py; here run the
+        # in-process API once at the cheapest config to cover the Python
+        # surface (assertions, sharding setup, eval padding).
         import __graft_entry__ as graft
 
-        graft.dryrun_multichip(8, n_steps=3, flagship=False)
+        graft.dryrun_multichip(8, n_steps=3, config="reduced")
+
+    def test_dryrun_config_validation(self):
+        import __graft_entry__ as graft
+
+        with pytest.raises(ValueError, match="unknown dryrun config"):
+            graft.dryrun_multichip(8, config="nope")
+        with pytest.raises(ValueError, match="n_steps"):
+            graft.dryrun_multichip(8, n_steps=2)
+        # legacy bool maps onto the named configs
+        assert graft._DRYRUN_CONFIGS["flagship"] == (224, 50, "bfloat16")
+        assert graft._DRYRUN_CONFIGS["reduced"] == (64, 18, "float32")
 
     def test_entry_compiles(self):
         import __graft_entry__ as graft
