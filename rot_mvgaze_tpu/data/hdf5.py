@@ -99,15 +99,15 @@ class GazeDataset:
 
     def _archives(self) -> List["h5py.File"]:
         if getattr(self._local, "generation", -1) != self._generation:
-            handles = [h5py.File(p, "r", swmr=True) for p in self.file_paths]
-            # Register BEFORE publishing to this thread, with the generation
-            # snapshotted under the same lock close() swaps the registry
-            # under: registering after (the old order) let a close() racing
-            # between the two steps miss these handles — they landed in the
-            # NEW registry while this thread kept the OLD generation, so the
-            # next access reopened fresh ones and the registered set leaked
-            # until a further close().
+            # Open AND register under _handles_lock: opening outside let a
+            # close() that started between the generation check and the
+            # registration leave this thread holding pre-close handles that
+            # no future close() could see. Opens happen only on generation
+            # change, so lock contention here is negligible.
             with self._handles_lock:
+                handles = [
+                    h5py.File(p, "r", swmr=True) for p in self.file_paths
+                ]
                 gen = self._generation
                 self._open_handles.extend(handles)
             self._local.archives = handles

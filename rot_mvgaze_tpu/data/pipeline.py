@@ -207,7 +207,16 @@ def device_prefetch(
                                 mesh, jax.sharding.PartitionSpec()
                             ),
                         )
-                    return jax.device_put(x)
+                    # Mesh-less sharding (e.g. SingleDeviceSharding): commit
+                    # the scalar to the BATCH's device, not the process
+                    # default — a bare device_put left prefetched leaves
+                    # inconsistently committed when the batch targets a
+                    # non-default device. Rank-0 is compatible with any
+                    # single-device sharding; for an exotic mesh-less
+                    # multi-device sharding, its first device still keeps
+                    # every leaf of the batch on one coherent device set.
+                    devices = sorted(sharding.device_set, key=lambda d: d.id)
+                    return jax.device_put(x, devices[0])
                 return put_sharded(x, sharding)
 
             return jax.tree.map(one, batch)

@@ -100,6 +100,16 @@ class Trainer:
             ckpt_resume = find_latest_checkpoint(auto_dir)
             if ckpt_resume:
                 print(f"auto-resume from latest checkpoint: {ckpt_resume}")
+        if getattr(config, "mode", "train") == "test" and ckpt_resume is None:
+            # Test mode with no resolvable checkpoint would silently score
+            # freshly-initialized weights — refuse loudly instead (the
+            # reference fails the same way: strict load of a required
+            # --ckpt_resume, /root/reference/main.py:253-255).
+            raise FileNotFoundError(
+                "--mode test needs a checkpoint, but none was found: "
+                f"ckpt_resume={getattr(config, 'ckpt_resume', None)!r}, "
+                f"auto_resume_dir={auto_dir!r} contains no *.msgpack"
+            )
         self._resume_path = ckpt_resume
         if init_variables is None:
             init_variables = self._init_variables()

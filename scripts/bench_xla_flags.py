@@ -136,15 +136,17 @@ def main() -> int:
                         "also selects built-ins")
     args = p.parse_args()
 
+    # Merge built-ins with --custom entries, then apply --only UNIFORMLY to
+    # the merged list: `--only lbl --custom {...}` runs exactly the selected
+    # labels whether they are built-in or custom (previously custom entries
+    # bypassed the filter and all ran).
     candidates = list(CANDIDATES)
     if args.custom:
         extra = json.loads(args.custom)
-        candidates = ([c for c in CANDIDATES
-                       if args.only and c[0] in set(args.only.split(","))]
-                      if args.only else [])
+        candidates = ([] if args.only is None else candidates)
         candidates += [(label, opts) for label, opts in extra.items()]
 
-    only = set(args.only.split(",")) if (args.only and not args.custom) else None
+    only = set(args.only.split(",")) if args.only else None
     results = []
     for label, options in candidates:
         if only is not None and label not in only:

@@ -260,6 +260,19 @@ class TestFailureRecovery:
         trainer3 = Trainer(cfg3, model, _metrics(), train_loader, test_loader)
         assert trainer3._resume_path == p2
 
+    def test_test_mode_refuses_missing_checkpoint(self, tmp_path, loaders):
+        # mode=test with an auto_resume_dir that holds no *.msgpack must
+        # raise instead of silently scoring freshly-initialized weights
+        # (the reference fails the same way on a required --ckpt_resume,
+        # /root/reference/main.py:253-255).
+        train_loader, test_loader = loaders
+        empty = tmp_path / "empty_ckpts"
+        empty.mkdir()
+        cfg = _make_config(tmp_path, mode="test", auto_resume_dir=str(empty))
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        with pytest.raises(FileNotFoundError, match="no .*msgpack"):
+            Trainer(cfg, model, _metrics(), train_loader, test_loader)
+
     def test_preemption_signal_saves_checkpoint(self, tmp_path, loaders):
         import os
         import signal
