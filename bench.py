@@ -138,11 +138,19 @@ def main() -> None:
     # XLA_FLAGS cannot carry xla_tpu_* flags through a tunneled backend —
     # the LOCAL client's flag parser rejects names only the remote TPU
     # compiler knows — but per-jit compiler_options are forwarded verbatim.
+    # Always compile explicitly so the executable's cost_analysis() (exact
+    # HLO flop/byte counts for THIS config) feeds the MFU / bandwidth
+    # fields below.
     opts = os.environ.get("BENCH_COMPILER_OPTIONS")
-    if opts:
-        train_step = train_step.lower(state, device_batch, key).compile(
-            compiler_options=json.loads(opts)
-        )
+    lowered = train_step.lower(state, device_batch, key)
+    train_step = lowered.compile(
+        compiler_options=json.loads(opts) if opts else None
+    )
+    try:
+        cost = train_step.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
+    except Exception:  # cost model unavailable on some backends
+        cost = {}
 
     # warmup / compile
     for i in range(3):
@@ -171,6 +179,37 @@ def main() -> None:
         # final rounding) — at tiny virtual-mesh throughputs, independently
         # rounding two views of the same timing made them disagree by >5%
         record["total_imgs_per_sec"] = round(record["value"] * n_dev, 1)
+
+    # MFU + HBM-bandwidth ratio (machine-readable form of the docs/PERF.md
+    # roofline: the step is bandwidth-bound on v5e, AI≈184 < 241 FLOP/byte).
+    # Counts come from the compiled executable's own cost_analysis() —
+    # exact HLO flops and logical bytes-accessed for the per-device module,
+    # so they track whatever BENCH_* config ran.
+    # Semantics (docs/PERF.md "Machine-readable roofline"): hbm_bw_util =
+    # (logical bytes x steps/s) / peak HBM bandwidth. "bytes accessed" is
+    # the compiler's post-fusion LOGICAL traffic; VMEM-resident reuse means
+    # not all of it touches HBM, so values ABOVE 1.0 are possible and mean
+    # the chip streams its logical working set faster than peak-HBM
+    # streaming would allow — i.e. HBM is saturated and the roofline's
+    # bandwidth-bound verdict holds. mfu uses XLA's flop count (≈3x forward
+    # FLOPs for a training step) against the bf16 MXU peak.
+    # Peaks default to TPU v5e (bf16 MXU 197 TFLOP/s, HBM 819 GB/s);
+    # override via BENCH_PEAK_TFLOPS / BENCH_PEAK_GBPS on other hardware.
+    # Reported only on real TPU — against-v5e utilization numbers from the
+    # CPU smoke config would be noise.
+    flops = float(cost.get("flops", 0.0))
+    hbm_bytes = float(cost.get("bytes accessed", 0.0))
+    if jax.default_backend() == "tpu" and flops > 0:
+        peak_flops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        peak_gbps = float(os.environ.get("BENCH_PEAK_GBPS", "819")) * 1e9
+        steps_per_sec = n_steps / dt
+        record["mfu"] = round(flops * steps_per_sec / peak_flops, 4)
+        if hbm_bytes > 0:
+            record["hbm_bw_util"] = round(
+                hbm_bytes * steps_per_sec / peak_gbps, 4
+            )
+        record["flops_per_step"] = flops
+        record["hbm_bytes_per_step"] = hbm_bytes
     print(json.dumps(record))
 
 
