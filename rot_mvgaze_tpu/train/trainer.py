@@ -545,9 +545,12 @@ class Trainer:
         single mean). Reuses the per-sample errors collected by the most
         recent ``test()`` call — no second eval pass or compile; runs
         ``test(-1)`` first if none happened yet. Under multi-host data
-        loading the groups cover THIS host's input shard only (labeled so in
-        the report); per-subject grouping needs the full dataset order and
-        is skipped there."""
+        loading the per-camera groups are aggregated ACROSS hosts with the
+        same (sum, count) allgather the mean uses — camera id is derivable
+        host-side from ``idx_0 % 18`` — so every process reports the
+        identical global table. Per-subject grouping needs the global
+        dataset row order, which a host shard cannot reconstruct, and is
+        omitted there (labeled so in the report)."""
         from rot_mvgaze_tpu.evaluate import (
             breakdown_from_errors,
             format_breakdown,
@@ -557,24 +560,69 @@ class Trainer:
         if getattr(self, "_last_eval_errors", None) is None:
             self.test(-1)
         multi_host = jax.process_count() > 1
-        detail = breakdown_from_errors(
-            self._last_eval_errors,
-            idx_0=self._last_eval_idx,
-            dataset=(
-                None
-                if multi_host
-                else getattr(self.test_loader, "dataset", None)
-            ),
-        )
-        report = format_breakdown(detail)
-        if multi_host:
+        if multi_host and self._last_eval_idx is not None:
+            detail = self._allgather_camera_breakdown()
             report = (
-                f"[process {jax.process_index()} input shard only]\n" + report
+                f"[aggregated over {jax.process_count()} processes; "
+                f"per-subject omitted (needs the global dataset order)]\n"
+                + format_breakdown(detail)
             )
+        else:
+            detail = breakdown_from_errors(
+                self._last_eval_errors,
+                idx_0=self._last_eval_idx,
+                dataset=(
+                    None
+                    if multi_host
+                    else getattr(self.test_loader, "dataset", None)
+                ),
+            )
+            report = format_breakdown(detail)
+            if multi_host:
+                report = (
+                    f"[process {jax.process_index()} input shard only]\n"
+                    + report
+                )
         print(report, end="")
         with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
             f.write(report)
         return detail
+
+    def _allgather_camera_breakdown(self) -> Dict[str, Any]:
+        """Global per-camera table from per-host (sum, count) vectors —
+        the fixed NUM_CAMERAS shape makes the allgather shape-stable no
+        matter which cameras a host's shard happened to contain."""
+        from jax.experimental import multihost_utils
+
+        from rot_mvgaze_tpu.data.pairing import NUM_CAMERAS
+
+        cams = np.asarray(self._last_eval_idx).reshape(-1) % NUM_CAMERAS
+        errs = np.asarray(self._last_eval_errors, np.float64)
+        sums = np.zeros((NUM_CAMERAS,), np.float64)
+        counts = np.zeros((NUM_CAMERAS,), np.float64)
+        np.add.at(sums, cams, errs)
+        np.add.at(counts, cams, 1.0)
+        agg = np.asarray(
+            multihost_utils.process_allgather(
+                np.stack([sums, counts], axis=-1)
+            ),
+            np.float64,
+        ).reshape(-1, NUM_CAMERAS, 2).sum(axis=0)
+        per_camera = {
+            int(c): {
+                "error": float(agg[c, 0] / agg[c, 1]),
+                "n": int(agg[c, 1]),
+            }
+            for c in range(NUM_CAMERAS)
+            if agg[c, 1] > 0
+        }
+        total_n = agg[:, 1].sum()
+        return {
+            "mean_error": float(agg[:, 0].sum() / total_n),
+            "n": int(total_n),
+            "per_camera": per_camera,
+            "per_subject": None,
+        }
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, add: Optional[str] = None) -> str:

@@ -81,6 +81,15 @@ def main() -> int:
     )
     trainer.train_one_epoch(0)
     err = trainer.test(0)
+    # Cross-host per-camera aggregation: every process must emit the SAME
+    # global table (sum/count allgather over idx_0 % 18 groups).
+    detail = trainer.test_breakdown()
+    assert detail["per_camera"], detail
+    cams = ",".join(
+        f"{c}:{s['error']:.8f}:{s['n']}"
+        for c, s in sorted(detail["per_camera"].items())
+    )
+    print(f"MPBREAKDOWN {process_id} n={detail['n']} {cams}", flush=True)
     print(f"MPFINAL {process_id} {err:.10f}", flush=True)
     return 0
 

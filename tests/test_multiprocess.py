@@ -86,3 +86,20 @@ def test_two_process_dp_trains_and_agrees(tmp_path):
     assert np.isfinite(errs[0])
     # the allgathered global metric must be identical on both hosts
     assert errs[0] == pytest.approx(errs[1], abs=1e-9), errs
+
+    # the allgathered per-camera breakdown must also be the identical
+    # GLOBAL table on both hosts (same sum/count aggregation as the mean)
+    tables = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MPBREAKDOWN"):
+                _, pid, n, cams = line.split()
+                tables[int(pid)] = (n, cams)
+    assert set(tables) == {0, 1}, outs
+    assert tables[0] == tables[1], tables
+    # global table covers the whole test set, not one host's shard
+    n_total = int(tables[0][0].split("=")[1])
+    per_cam_n = sum(
+        int(entry.split(":")[2]) for entry in tables[0][1].split(",")
+    )
+    assert per_cam_n == n_total
