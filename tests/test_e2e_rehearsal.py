@@ -1,6 +1,7 @@
-"""Cross-framework end-to-end eval rehearsal (VERDICT r2 item #2).
+"""Cross-framework end-to-end eval rehearsal (VERDICT r2 item #2, widened
+to every protocol class in r4 per VERDICT r3 item #5).
 
-The only test that exercises dataset + preprocessing + pairing + forward +
+The only tests that exercise dataset + preprocessing + pairing + forward +
 metric JOINTLY across frameworks: train the reference itself (torch, CPU,
 executed in place via reference_harness) a few steps on a tiny synthetic
 corpus, save its ``.pth.tar``, then run
@@ -10,8 +11,19 @@ corpus, save its ``.pth.tar``, then run
   SAME frozen pair index (``pairing="reference"``),
 
 and assert the two reported mean angular errors agree to <=0.1 deg — the
-BASELINE.json protocol-parity budget. Skips cleanly without torch or the
-reference tree.
+BASELINE.json protocol-parity budget. Three protocol classes are rehearsed:
+
+1. default config, known-camera split (``camera_tag='all'``) — the shipped
+   eval protocol (/root/reference/main.py:124-125,231-236);
+2. the NOVEL-camera split (``novel_train``/``novel_test`` tags,
+   /root/reference/dataset/gaze.py:39-44 via main.py:126-127) — different
+   valid-camera sets change both the pair-index draw order and the eval
+   subset;
+3. the ``share_feature=True`` ablation (/root/reference/models/rot_mv.py:
+   161-171) — exercises the IntensityBatchNorm running-std buffer through
+   checkpoint conversion, the most conversion-sensitive variant.
+
+Skips cleanly without torch or the reference tree.
 """
 
 import os
@@ -41,7 +53,7 @@ pytestmark = pytest.mark.skipif(
 SEED = 0
 IMAGE_SIZE = 32
 BATCH = 9
-MODEL_CFG = dict(
+DEFAULT_MODEL_CFG = dict(
     backbone_depth=18,
     num_iter=2,
     share_weights=False,
@@ -73,8 +85,9 @@ def _torch_test_transform(image_size: int):
     return transform
 
 
-@pytest.fixture(scope="module")
-def rehearsal(tmp_path_factory):
+def _run_reference_rehearsal(
+    tmp_path_factory, model_cfg, train_tag, test_tag
+):
     """Train the reference a few steps, save its ckpt, run its eval."""
     import torch
     from torch.utils.data import DataLoader
@@ -91,20 +104,21 @@ def rehearsal(tmp_path_factory):
     )
 
     # the reference protocol: seed the global generators, build train
-    # dataset then test dataset (/root/reference/main.py:216,224)
+    # dataset then test dataset (/root/reference/main.py:216,224) — the
+    # draw ORDER matters because both consume the one global `random`
     random.seed(SEED)
     np.random.seed(SEED)
     torch.manual_seed(SEED)
     transform = _torch_test_transform(IMAGE_SIZE)
     ref_train = ref_gaze.GazeDataset(
         dataset_name="xgaze", dataset_path=root, color_type="bgr",
-        image_transform=transform, keys_to_use=subjects, camera_tag="all",
-        stereo=True,
+        image_transform=transform, keys_to_use=subjects,
+        camera_tag=train_tag, stereo=True,
     )
     ref_test = ref_gaze.GazeDataset(
         dataset_name="mpiinv", dataset_path=root, color_type="rgb",
-        image_transform=transform, keys_to_use=subjects, camera_tag="all",
-        stereo=True,
+        image_transform=transform, keys_to_use=subjects,
+        camera_tag=test_tag, stereo=True,
     )
     train_loader = DataLoader(
         ref_train, batch_size=BATCH, shuffle=True, num_workers=0
@@ -113,7 +127,7 @@ def rehearsal(tmp_path_factory):
         ref_test, batch_size=BATCH, shuffle=False, num_workers=0
     )
 
-    model = ref_rot_mv.FeatRotationSymm(**MODEL_CFG)
+    model = ref_rot_mv.FeatRotationSymm(**model_cfg)
     stereo = ref_stereo.StereoL1Loss(
         rel_weight=0.01, reference_decay=1.0,
         distance_metric="angular_error", pred_gaze_key="pred_gaze",
@@ -140,20 +154,27 @@ def rehearsal(tmp_path_factory):
         "ckpt": ckpt_path,
         "ref_error": float(ref_error),
         "ref_test_index": [tuple(t) for t in ref_test.idx_to_kv],
+        "model_cfg": dict(model_cfg),
+        "train_tag": train_tag,
+        "test_tag": test_tag,
     }
 
 
-def test_eval_protocol_parity(rehearsal, tmp_path):
+def _assert_our_eval_matches(rehearsal, tmp_path):
     """Our --mode test from the reference's checkpoint reports the same mean
     error (<=0.1 deg) over the same corpus and pair index."""
+    # ONE replayed generator across train-then-test construction — the
+    # reference's global-`random` draw-order dependency
     pair_rng = random.Random(SEED)
     ours_train = GazeDataset(
         "xgaze", rehearsal["root"], "bgr", rehearsal["subjects"],
-        camera_tag="all", seed=SEED, pairing="reference", pair_rng=pair_rng,
+        camera_tag=rehearsal["train_tag"], seed=SEED,
+        pairing="reference", pair_rng=pair_rng,
     )
     ours_test = GazeDataset(
         "mpiinv", rehearsal["root"], "rgb", rehearsal["subjects"],
-        camera_tag="all", seed=SEED, pairing="reference", pair_rng=pair_rng,
+        camera_tag=rehearsal["test_tag"], seed=SEED,
+        pairing="reference", pair_rng=pair_rng,
     )
     assert ours_test.idx_to_kv == rehearsal["ref_test_index"]
 
@@ -164,7 +185,7 @@ def test_eval_protocol_parity(rehearsal, tmp_path):
         test_batch_size=BATCH, epochs=1, save_epoch=10**9,
         image_size=IMAGE_SIZE, scheduler_step="epoch",
     )
-    model = FeatRotationSymm(**MODEL_CFG)
+    model = FeatRotationSymm(**rehearsal["model_cfg"])
     metrics = IterationLoss(
         loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5
     )
@@ -179,9 +200,63 @@ def test_eval_protocol_parity(rehearsal, tmp_path):
     ours_test.close()
 
     delta = abs(our_error - rehearsal["ref_error"])
-    print(f"reference: {rehearsal['ref_error']:.4f} deg  "
+    print(f"[{rehearsal['train_tag']}/{rehearsal['test_tag']} "
+          f"{rehearsal['model_cfg']}] "
+          f"reference: {rehearsal['ref_error']:.4f} deg  "
           f"ours: {our_error:.4f} deg  delta: {delta:.4f} deg")
     assert delta <= 0.1, (
         f"protocol parity violated: reference {rehearsal['ref_error']:.4f} "
         f"vs ours {our_error:.4f} deg (delta {delta:.4f} > 0.1)"
     )
+
+
+@pytest.fixture(scope="module")
+def rehearsal(tmp_path_factory):
+    return _run_reference_rehearsal(
+        tmp_path_factory, DEFAULT_MODEL_CFG, "all", "all"
+    )
+
+
+@pytest.fixture(scope="module")
+def rehearsal_novel(tmp_path_factory):
+    return _run_reference_rehearsal(
+        tmp_path_factory, DEFAULT_MODEL_CFG, "novel_train", "novel_test"
+    )
+
+
+@pytest.fixture(scope="module")
+def rehearsal_share_feature(tmp_path_factory):
+    cfg = dict(DEFAULT_MODEL_CFG, share_feature=True)
+    return _run_reference_rehearsal(tmp_path_factory, cfg, "all", "all")
+
+
+def test_eval_protocol_parity(rehearsal, tmp_path):
+    _assert_our_eval_matches(rehearsal, tmp_path)
+
+
+def test_eval_protocol_parity_novel_cameras(rehearsal_novel, tmp_path):
+    # *_novel experiments: train on 12 cameras, eval on the held-out 6
+    # (/root/reference/main.py:126-127, dataset/gaze.py:39-44) — every test
+    # pair must draw BOTH views from the held-out camera set
+    novel_test_cams = set(range(2, 18, 3))
+    index = rehearsal_novel["ref_test_index"]
+    assert index, "novel_test produced an empty pair index"
+    assert all(
+        idx % 18 in novel_test_cams and idx_b % 18 in novel_test_cams
+        for _f, idx, idx_b in index
+    )
+    _assert_our_eval_matches(rehearsal_novel, tmp_path)
+
+
+def test_eval_protocol_parity_share_feature_ablation(
+    rehearsal_share_feature, tmp_path
+):
+    # the IntensityBatchNorm running-std buffer rides the checkpoint —
+    # the reference stores it under the (misleading) name
+    # `_batchnorm.running_mean` (/root/reference/models/rot_mv.py:16);
+    # conversion must carry it
+    import torch
+
+    state = torch.load(rehearsal_share_feature["ckpt"], map_location="cpu")
+    assert any("_batchnorm.running_mean" in k for k in state), list(state)
+    _assert_our_eval_matches(rehearsal_share_feature, tmp_path)
