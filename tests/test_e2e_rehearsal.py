@@ -11,7 +11,8 @@ corpus, save its ``.pth.tar``, then run
   SAME frozen pair index (``pairing="reference"``),
 
 and assert the two reported mean angular errors agree to <=0.1 deg — the
-BASELINE.json protocol-parity budget. Three protocol classes are rehearsed:
+BASELINE.json protocol-parity budget. Five protocol classes are rehearsed,
+covering every config class BASELINE.json names:
 
 1. default config, known-camera split (``camera_tag='all'``) — the shipped
    eval protocol (/root/reference/main.py:124-125,231-236);
@@ -21,7 +22,11 @@ BASELINE.json protocol-parity budget. Three protocol classes are rehearsed:
    subset;
 3. the ``share_feature=True`` ablation (/root/reference/models/rot_mv.py:
    161-171) — exercises the IntensityBatchNorm running-std buffer through
-   checkpoint conversion, the most conversion-sensitive variant.
+   checkpoint conversion, the most conversion-sensitive variant;
+4. the ``encode_rotmat=True`` ablation (ImageRotmatFeatFuser,
+   /root/reference/models/rot_mv.py:53-67);
+5. the reverse transfer direction (mpiinv2xgaze: eval on XGaze), driving
+   the BGR->RGB read path end-to-end.
 
 Skips cleanly without torch or the reference tree.
 """
@@ -86,7 +91,8 @@ def _torch_test_transform(image_size: int):
 
 
 def _run_reference_rehearsal(
-    tmp_path_factory, model_cfg, train_tag, test_tag
+    tmp_path_factory, model_cfg, train_tag, test_tag,
+    train_ds=("xgaze", "bgr"), test_ds=("mpiinv", "rgb"),
 ):
     """Train the reference a few steps, save its ckpt, run its eval."""
     import torch
@@ -111,12 +117,12 @@ def _run_reference_rehearsal(
     torch.manual_seed(SEED)
     transform = _torch_test_transform(IMAGE_SIZE)
     ref_train = ref_gaze.GazeDataset(
-        dataset_name="xgaze", dataset_path=root, color_type="bgr",
+        dataset_name=train_ds[0], dataset_path=root, color_type=train_ds[1],
         image_transform=transform, keys_to_use=subjects,
         camera_tag=train_tag, stereo=True,
     )
     ref_test = ref_gaze.GazeDataset(
-        dataset_name="mpiinv", dataset_path=root, color_type="rgb",
+        dataset_name=test_ds[0], dataset_path=root, color_type=test_ds[1],
         image_transform=transform, keys_to_use=subjects,
         camera_tag=test_tag, stereo=True,
     )
@@ -157,6 +163,8 @@ def _run_reference_rehearsal(
         "model_cfg": dict(model_cfg),
         "train_tag": train_tag,
         "test_tag": test_tag,
+        "train_ds": train_ds,
+        "test_ds": test_ds,
     }
 
 
@@ -167,12 +175,14 @@ def _assert_our_eval_matches(rehearsal, tmp_path):
     # reference's global-`random` draw-order dependency
     pair_rng = random.Random(SEED)
     ours_train = GazeDataset(
-        "xgaze", rehearsal["root"], "bgr", rehearsal["subjects"],
+        rehearsal["train_ds"][0], rehearsal["root"],
+        rehearsal["train_ds"][1], rehearsal["subjects"],
         camera_tag=rehearsal["train_tag"], seed=SEED,
         pairing="reference", pair_rng=pair_rng,
     )
     ours_test = GazeDataset(
-        "mpiinv", rehearsal["root"], "rgb", rehearsal["subjects"],
+        rehearsal["test_ds"][0], rehearsal["root"],
+        rehearsal["test_ds"][1], rehearsal["subjects"],
         camera_tag=rehearsal["test_tag"], seed=SEED,
         pairing="reference", pair_rng=pair_rng,
     )
@@ -230,6 +240,23 @@ def rehearsal_share_feature(tmp_path_factory):
     return _run_reference_rehearsal(tmp_path_factory, cfg, "all", "all")
 
 
+@pytest.fixture(scope="module")
+def rehearsal_encode_rotmat(tmp_path_factory):
+    cfg = dict(DEFAULT_MODEL_CFG, encode_rotmat=True)
+    return _run_reference_rehearsal(tmp_path_factory, cfg, "all", "all")
+
+
+@pytest.fixture(scope="module")
+def rehearsal_reverse_direction(tmp_path_factory):
+    # mpiinv2xgaze: train on MPII-NV (rgb, pitch-flip), TEST on XGaze —
+    # the eval path exercises the BGR->RGB conversion
+    # (/root/reference/main.py:149-167, dataset/gaze.py:108-109)
+    return _run_reference_rehearsal(
+        tmp_path_factory, DEFAULT_MODEL_CFG, "all", "all",
+        train_ds=("mpiinv", "rgb"), test_ds=("xgaze", "bgr"),
+    )
+
+
 def test_eval_protocol_parity(rehearsal, tmp_path):
     _assert_our_eval_matches(rehearsal, tmp_path)
 
@@ -260,3 +287,19 @@ def test_eval_protocol_parity_share_feature_ablation(
     state = torch.load(rehearsal_share_feature["ckpt"], map_location="cpu")
     assert any("_batchnorm.running_mean" in k for k in state), list(state)
     _assert_our_eval_matches(rehearsal_share_feature, tmp_path)
+
+
+def test_eval_protocol_parity_encode_rotmat_ablation(
+    rehearsal_encode_rotmat, tmp_path
+):
+    # encode_rotmat: ImageRotmatFeatFuser consumes the UNROTATED other-view
+    # feature plus the flattened relative rotmat
+    # (/root/reference/models/rot_mv.py:53-67,219-225)
+    _assert_our_eval_matches(rehearsal_encode_rotmat, tmp_path)
+
+
+def test_eval_protocol_parity_reverse_direction(
+    rehearsal_reverse_direction, tmp_path
+):
+    # mpiinv2xgaze: eval on XGaze drives the BGR->RGB read path end-to-end
+    _assert_our_eval_matches(rehearsal_reverse_direction, tmp_path)
