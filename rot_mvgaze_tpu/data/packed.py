@@ -34,6 +34,54 @@ MAGIC = b"RMGPACK1"
 HEADER_SIZE = 56
 
 
+def write_pack(out_path, n, h, w, c, image_blocks, gaze, pose) -> str:
+    """THE canonical RMGPACK1 writer — every pack on disk comes from here
+    (pack_hdf5 and the synthetic benchmark corpora), so the layout has one
+    owner. ``image_blocks`` is an iterable of uint8 (m, h, w, c) blocks
+    totalling n samples (streamed so peak RSS stays bounded); ``gaze`` and
+    ``pose`` are (n, 2) float32.
+
+    Atomic publish: stream into a temp file, fsync, then rename. A
+    crash/preemption mid-pack must never leave a truncated file at the
+    final path — its mtime would pass the freshness check and the mmap
+    consumers would read past EOF (SIGBUS in the C++ gather). uuid, not
+    pid: on a SHARED cache dir, multi-host jobs pack concurrently and
+    containerized hosts commonly share namespaced PIDs — two writers on
+    one tmp file would break the atomicity."""
+    import uuid
+
+    gaze = np.ascontiguousarray(gaze, dtype=np.float32)
+    pose = np.ascontiguousarray(pose, dtype=np.float32)
+    assert gaze.shape == (n, 2) and pose.shape == (n, 2), (gaze.shape, pose.shape)
+    img_off = HEADER_SIZE
+    gaze_off = img_off + n * h * w * c
+    pose_off = gaze_off + gaze.nbytes
+    tmp_path = f"{out_path}.tmp.{uuid.uuid4().hex}"
+    try:
+        with open(tmp_path, "wb") as out:
+            out.write(MAGIC)
+            out.write(struct.pack("<Q", n))
+            out.write(struct.pack("<IIII", h, w, c, 0))
+            out.write(struct.pack("<QQQ", img_off, gaze_off, pose_off))
+            assert out.tell() == HEADER_SIZE
+            written = 0
+            for block in image_blocks:
+                block = np.ascontiguousarray(block, dtype=np.uint8)
+                assert block.shape[1:] == (h, w, c), block.shape
+                written += block.shape[0]
+                out.write(block.tobytes())
+            assert written == n, f"image blocks totalled {written} != {n}"
+            out.write(gaze.tobytes())
+            out.write(pose.tobytes())
+            out.flush()
+            os.fsync(out.fileno())
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+    return out_path
+
+
 def pack_hdf5(
     h5_path: str,
     out_path: str,
@@ -50,39 +98,15 @@ def pack_hdf5(
         pose = np.asarray(f["face_head_pose"], dtype=np.float32)
         if dataset_name == "mpiinv":
             pose[:, 0] *= -1  # pitch sign convention
-        img_off = HEADER_SIZE
-        gaze_off = img_off + n * h * w * c
-        pose_off = gaze_off + gaze.nbytes
-        # Atomic publish: stream into a temp file, fsync, then rename. A
-        # crash/preemption mid-pack must never leave a truncated file at the
-        # final path — its mtime would pass the freshness check and the
-        # mmap consumers would read past EOF (SIGBUS in the C++ gather).
-        # uuid, not pid: on a SHARED cache dir, multi-host jobs pack
-        # concurrently and containerized hosts commonly share namespaced
-        # PIDs — two writers on one tmp file would break the atomicity.
-        import uuid
 
-        tmp_path = f"{out_path}.tmp.{uuid.uuid4().hex}"
-        try:
-            with open(tmp_path, "wb") as out:
-                out.write(MAGIC)
-                out.write(struct.pack("<Q", n))
-                out.write(struct.pack("<IIII", h, w, c, 0))
-                out.write(struct.pack("<QQQ", img_off, gaze_off, pose_off))
-                assert out.tell() == HEADER_SIZE
-                for start in range(0, n, chunk):
-                    block = np.asarray(f["face_patch"][start : start + chunk])
-                    if color_type == "bgr":
-                        block = block[..., ::-1]
-                    out.write(np.ascontiguousarray(block).tobytes())
-                out.write(gaze.tobytes())
-                out.write(pose.tobytes())
-                out.flush()
-                os.fsync(out.fileno())
-            os.replace(tmp_path, out_path)
-        finally:
-            if os.path.exists(tmp_path):
-                os.unlink(tmp_path)
+        def blocks():
+            for start in range(0, n, chunk):
+                block = np.asarray(f["face_patch"][start : start + chunk])
+                if color_type == "bgr":
+                    block = block[..., ::-1]
+                yield block
+
+        write_pack(out_path, n, h, w, c, blocks(), gaze, pose)
     return out_path
 
 

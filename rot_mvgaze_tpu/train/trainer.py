@@ -100,11 +100,17 @@ class Trainer:
             ckpt_resume = find_latest_checkpoint(auto_dir)
             if ckpt_resume:
                 print(f"auto-resume from latest checkpoint: {ckpt_resume}")
-        if getattr(config, "mode", "train") == "test" and ckpt_resume is None:
-            # Test mode with no resolvable checkpoint would silently score
-            # freshly-initialized weights — refuse loudly instead (the
-            # reference fails the same way: strict load of a required
-            # --ckpt_resume, /root/reference/main.py:253-255).
+        if (
+            getattr(config, "mode", "train") == "test"
+            and ckpt_resume is None
+            and init_variables is None
+        ):
+            # Test mode with no resolvable checkpoint AND no explicitly
+            # supplied weights would silently score freshly-initialized
+            # weights — refuse loudly instead (the reference fails the same
+            # way: strict load of a required --ckpt_resume,
+            # /root/reference/main.py:253-255). Programmatic callers that
+            # pass init_variables made a deliberate choice of weights.
             raise FileNotFoundError(
                 "--mode test needs a checkpoint, but none was found: "
                 f"ckpt_resume={getattr(config, 'ckpt_resume', None)!r}, "
@@ -560,7 +566,26 @@ class Trainer:
         if getattr(self, "_last_eval_errors", None) is None:
             self.test(-1)
         multi_host = jax.process_count() > 1
-        if multi_host and self._last_eval_idx is not None:
+        if multi_host:
+            # Agree on the branch BEFORE any conditional collective:
+            # _last_eval_idx is a per-host, data-dependent condition (a host
+            # whose loader omitted idx_0 has None), and hosts diverging here
+            # would leave one side waiting in the camera allgather forever.
+            # This flag exchange is itself a collective, but an
+            # unconditional one — every process reaches it.
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(
+                multihost_utils.process_allgather(
+                    np.array(
+                        [1.0 if self._last_eval_idx is not None else 0.0]
+                    )
+                )
+            )
+            all_have_idx = bool(flags.min() > 0)
+        else:
+            all_have_idx = False
+        if multi_host and all_have_idx:
             detail = self._allgather_camera_breakdown()
             report = (
                 f"[aggregated over {jax.process_count()} processes; "

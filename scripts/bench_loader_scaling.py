@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import struct
 import sys
 import tempfile
 import time
@@ -34,29 +33,26 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from rot_mvgaze_tpu.data.packed import HEADER_SIZE, MAGIC  # noqa: E402
+from rot_mvgaze_tpu.data.packed import write_pack  # noqa: E402
 
 
-def write_pack(path: str, n: int, size: int, seed: int) -> None:
-    """Write a synthetic packed cache directly in the RMGPACK1 layout."""
+def write_synth_pack(path: str, n: int, size: int, seed: int) -> None:
+    """Synthetic cache via the CANONICAL RMGPACK1 writer (one layout owner,
+    rot_mvgaze_tpu/data/packed.py); blocks streamed so RSS stays bounded."""
     rng = np.random.default_rng(seed)
     h = w = size
     c = 3
-    img_off = HEADER_SIZE
-    gaze_off = img_off + n * h * w * c
-    pose_off = gaze_off + n * 2 * 4
-    with open(path, "wb") as out:
-        out.write(MAGIC)
-        out.write(struct.pack("<Q", n))
-        out.write(struct.pack("<IIII", h, w, c, 0))
-        out.write(struct.pack("<QQQ", img_off, gaze_off, pose_off))
-        assert out.tell() == HEADER_SIZE
-        # chunked so peak RSS stays bounded at large --samples
+
+    def blocks():
         for start in range(0, n, 1024):
             m = min(1024, n - start)
-            out.write(rng.integers(0, 256, (m, h, w, c), dtype=np.uint8).tobytes())
-        out.write(rng.uniform(-1, 1, (n, 2)).astype(np.float32).tobytes())
-        out.write(rng.uniform(-1, 1, (n, 2)).astype(np.float32).tobytes())
+            yield rng.integers(0, 256, (m, h, w, c), dtype=np.uint8)
+
+    write_pack(
+        path, n, h, w, c, blocks(),
+        rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+        rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+    )
 
 
 def run_point(paths, n_threads, batch, n_iter_samples):
@@ -123,7 +119,7 @@ def main() -> int:
         paths = []
         for i in range(4):
             path = os.path.join(td, f"pack{i}.rmg")
-            write_pack(path, args.samples, args.image_size, seed=i)
+            write_synth_pack(path, args.samples, args.image_size, seed=i)
             paths.append(path)
         total_gb = 4 * args.samples * bytes_per_stereo / 2 / 1e9
         print(f"# host cpus={os.cpu_count()} packs=4x{args.samples} "

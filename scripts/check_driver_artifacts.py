@@ -14,12 +14,13 @@ regression was invisible until the judge saw the artifact. This script runs
 each driver entry EXACTLY as the driver does (same env, same args, fresh
 subprocess) under an explicit budget and fails loudly when one exceeds it.
 
-Budgets are ~3x the wall clocks measured on the round-4 driver host
-(1 CPU, 8 virtual devices, cold cache): dryrun 84-130 s, bench-smoke
-67-76 s, entry-compile 11 s. Machine noise on this host was measured at
-<=1.2x; 3x headroom absorbs that without masking a real regression such as
-r3's 6-45 min configs (the r50-small config measured 370-437 s here and
-the flagship ~45 min — both would fail the dryrun budget, correctly).
+Budgets are ~2-3x the wall clocks measured on the round-4 driver host
+(1 CPU, 8 virtual devices, cold cache): dryrun ~100-145 s (4 steps),
+bench-smoke 67-76 s, entry-compile 11 s. Machine noise on this host was
+measured at <=1.2x; the headroom absorbs that without masking a real
+regression such as r3's 6-45 min configs (the r50-small config measured
+370-442 s here and the flagship ~45 min — both would fail the dryrun
+budget, correctly).
 
 Run directly (``python scripts/check_driver_artifacts.py``) or via the
 routine suite (``tests/test_driver_artifacts.py``).

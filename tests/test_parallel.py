@@ -36,7 +36,7 @@ class TestGraftEntry:
         # surface (assertions, sharding setup, eval padding).
         import __graft_entry__ as graft
 
-        graft.dryrun_multichip(8, n_steps=3, config="reduced")
+        graft.dryrun_multichip(8, n_steps=4, config="reduced")
 
     def test_dryrun_config_validation(self):
         import __graft_entry__ as graft
@@ -44,7 +44,7 @@ class TestGraftEntry:
         with pytest.raises(ValueError, match="unknown dryrun config"):
             graft.dryrun_multichip(8, config="nope")
         with pytest.raises(ValueError, match="n_steps"):
-            graft.dryrun_multichip(8, n_steps=2)
+            graft.dryrun_multichip(8, n_steps=3)
         # legacy bool maps onto the named configs
         assert graft._DRYRUN_CONFIGS["flagship"] == (224, 50, "bfloat16")
         assert graft._DRYRUN_CONFIGS["reduced"] == (64, 18, "float32")
