@@ -72,6 +72,7 @@ def download_pretrained(
 
     tmp = f"{dest}.tmp.{os.getpid()}"
     try:
+        import http.client
         import urllib.error
         import urllib.request
 
@@ -86,7 +87,23 @@ def download_pretrained(
                     if not chunk:
                         break
                     out.write(chunk)
-        except (urllib.error.URLError, OSError, TimeoutError) as e:
+        except urllib.error.HTTPError as e:
+            # The server answered (404/403/5xx) — the network is fine; the
+            # URL or the server is the problem. Don't misdiagnose as
+            # missing egress (HTTPError subclasses URLError).
+            raise RuntimeError(
+                f"could not download pretrained weights for {name} "
+                f"({url}): server returned HTTP {e.code} {e.reason}. "
+                f"Check the URL / MODEL_URLS entry, or download the file "
+                f"elsewhere and pass its path via --pretrained_backbone "
+                f"/path/to/{os.path.basename(dest)}."
+            ) from e
+        except (
+            urllib.error.URLError,
+            http.client.HTTPException,  # e.g. IncompleteRead mid-download
+            OSError,
+            TimeoutError,
+        ) as e:
             raise RuntimeError(
                 f"could not download pretrained weights for {name} "
                 f"({url}): {e}. This environment appears to have no "

@@ -35,10 +35,23 @@ def _eval_forward(model: Any, image_size: int, single_view: bool):
     # error must not absorb bf16 forward rounding) — otherwise a sweep over
     # a bf16-configured model would report numbers incomparable to
     # Trainer.test / the BASELINE parity target for the same checkpoint.
-    if getattr(model, "dtype", jnp.float32) != jnp.float32 and hasattr(
-        model, "clone"
-    ):
-        model = model.clone(dtype=jnp.float32)
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        if hasattr(model, "clone"):
+            model = model.clone(dtype=jnp.float32)
+        else:
+            # A custom model we cannot re-dtype would silently report a
+            # metric that absorbs its training-dtype rounding — say so
+            # loudly rather than produce numbers incomparable to the
+            # float32 protocol.
+            import warnings
+
+            warnings.warn(
+                f"evaluate: model dtype {getattr(model, 'dtype', None)} is "
+                "not float32 and the model has no .clone(); the protocol "
+                "metric will include non-f32 forward rounding",
+                RuntimeWarning,
+                stacklevel=3,
+            )
     try:
         key = (model, image_size, single_view)
         cached = _FORWARD_CACHE.get(key)
@@ -89,6 +102,7 @@ def evaluate_gaze_detailed(
     model: Any,
     variables: Dict[str, Any],
     loader: Iterable,
+    *,
     dataset: Any = None,
     image_size: int = 224,
     single_view: bool = False,
@@ -135,6 +149,11 @@ def evaluate_gaze_detailed(
         gts.append(np.asarray(batch["gt_gaze"]))
         if "idx_0" in batch:
             idxs.append(np.asarray(batch["idx_0"]).reshape(-1))
+    if not preds:
+        raise ValueError(
+            "evaluate_gaze_detailed: the loader yielded no batches — empty "
+            "per-host shard, or a dataset smaller than the process count?"
+        )
     pred_all = np.concatenate(preds)
     gt_all = np.concatenate(gts)
     errors = angular_error_numpy(pred_all, gt_all)

@@ -21,6 +21,7 @@ Wire schema (field numbers from tensorboard's event.proto / summary.proto):
 from __future__ import annotations
 
 import io
+import itertools
 import os
 import socket
 import struct
@@ -138,9 +139,21 @@ class SummaryWriter:
     """Drop-in subset of torch.utils.tensorboard.SummaryWriter
     (``add_scalar`` / ``add_image`` / ``flush`` / ``close``)."""
 
+    # per-process writer counter (torch's `.{uid}` suffix): two writers in
+    # ONE process within the same epoch-second must not share a file either
+    _uid = itertools.count()
+
     def __init__(self, log_dir: str) -> None:
         os.makedirs(log_dir, exist_ok=True)
-        fname = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        # pid + uid in the filename (as torch's SummaryWriter does):
+        # multi-process trainers on one host start near-simultaneously, and
+        # two writers appending to one epoch-second-named file interleave
+        # TFRecords — TensorBoard stops at the first CRC mismatch and
+        # silently drops everything after it.
+        fname = (
+            f"events.out.tfevents.{int(time.time())}."
+            f"{socket.gethostname()}.{os.getpid()}.{next(self._uid)}"
+        )
         self._f = open(os.path.join(log_dir, fname), "ab")
         self._write_record(_encode_event(0, file_version="brain.Event:2"))
 

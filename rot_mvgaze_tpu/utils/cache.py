@@ -19,5 +19,14 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:  # config names can move across jax versions
+        # Never silent: without the cache every process restart re-pays the
+        # multi-minute flagship compile on a tunneled TPU — exactly the
+        # cost this module exists to eliminate.
+        import sys
+
+        print(
+            f"WARNING: persistent compile cache NOT enabled ({e!r}); "
+            f"compiles will not be reused across processes",
+            file=sys.stderr,
+        )

@@ -96,6 +96,43 @@ class TestDownload:
         with pytest.raises(RuntimeError, match="--pretrained_backbone"):
             download_pretrained(50, cache_dir=str(tmp_path), progress=False)
 
+    def test_http_error_is_not_misdiagnosed_as_no_egress(
+        self, tmp_path, monkeypatch
+    ):
+        # HTTPError subclasses URLError: a 404 means the server ANSWERED —
+        # the remediation must point at the URL, not at network egress
+        def not_found(url, timeout=60):
+            raise urllib.error.HTTPError(url, 404, "Not Found", None, None)
+
+        monkeypatch.setattr(urllib.request, "urlopen", not_found)
+        with pytest.raises(RuntimeError, match="HTTP 404") as ei:
+            download_pretrained(50, cache_dir=str(tmp_path), progress=False)
+        assert "no network egress" not in str(ei.value)
+
+    def test_mid_download_disconnect_raises_runtime_error(
+        self, tmp_path, monkeypatch
+    ):
+        # http.client.HTTPException (e.g. IncompleteRead) is neither
+        # URLError nor OSError — it must still surface as the module's
+        # actionable RuntimeError, not a bare traceback
+        import http.client
+
+        class Dropping(io.RawIOBase):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def read(self, n=-1):
+                raise http.client.IncompleteRead(b"partial")
+
+        monkeypatch.setattr(
+            urllib.request, "urlopen", lambda url, timeout=60: Dropping()
+        )
+        with pytest.raises(RuntimeError, match="--pretrained_backbone"):
+            download_pretrained(50, cache_dir=str(tmp_path), progress=False)
+
     def test_unknown_arch(self, tmp_path):
         with pytest.raises(KeyError):
             download_pretrained("resnet9000", cache_dir=str(tmp_path))

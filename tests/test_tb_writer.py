@@ -73,6 +73,25 @@ class TestVarint:
 
 
 class TestSummaryWriter:
+    def test_filename_unique_per_process(self, tmp_path):
+        # two writers on one log dir in the same epoch-second (the
+        # multi-process single-host case) must NOT append to one file —
+        # interleaved TFRecords CRC-fail and TensorBoard silently drops
+        # everything after the first mismatch. pid in the filename (as
+        # torch does) keeps them apart; same-process writers rely on it too.
+        import os
+
+        w1 = SummaryWriter(str(tmp_path))
+        w2 = SummaryWriter(str(tmp_path))
+        w1.add_scalar("a", 1.0, 0)
+        w2.add_scalar("a", 2.0, 0)
+        w1.close()
+        w2.close()
+        files = sorted(os.listdir(tmp_path))
+        # pid + per-process uid => two distinct files, never one shared
+        assert len(files) == 2, files
+        assert all(f".{os.getpid()}." in f for f in files)
+
     def test_file_parses_with_valid_crcs(self, tmp_path):
         w = SummaryWriter(str(tmp_path))
         w.add_scalar("test/error", 42.5, step=3)
