@@ -37,7 +37,38 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: (name, budget seconds, extra env, argv). Budgets: see module docstring.
+def _validate_dryrun(out: str) -> "str | None":
+    if "dryrun_multichip(8) OK" not in out:
+        return "missing 'dryrun_multichip(8) OK' line"
+    return None
+
+
+def _validate_bench(out: str) -> "str | None":
+    """The driver records bench.py's LAST stdout line as the round metric —
+    it must be one JSON object with the documented keys."""
+    lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        return "no JSON line in bench output"
+    try:
+        rec = json.loads(lines[-1])
+    except json.JSONDecodeError as e:
+        return f"bench JSON unparsable: {e}"
+    missing = {"metric", "value", "unit", "vs_baseline"} - set(rec)
+    if missing:
+        return f"bench JSON missing keys: {sorted(missing)}"
+    if not (isinstance(rec["value"], (int, float)) and rec["value"] > 0):
+        return f"bench value not a positive number: {rec['value']!r}"
+    return None
+
+
+def _validate_entry(out: str) -> "str | None":
+    if "entry OK" not in out:
+        return "missing 'entry OK' line"
+    return None
+
+
+#: (name, budget seconds, extra env, argv, output validator).
+#: Budgets: see module docstring.
 CHECKS = [
     (
         "dryrun_multichip(8) [driver invocation]",
@@ -52,6 +83,7 @@ CHECKS = [
             "from __graft_entry__ import dryrun_multichip; "
             "dryrun_multichip(8)",
         ],
+        _validate_dryrun,
     ),
     (
         "bench.py [CPU smoke config]",
@@ -63,6 +95,7 @@ CHECKS = [
             "BENCH_DEPTH": "18",
         },
         [sys.executable, "bench.py"],
+        _validate_bench,
     ),
     (
         "entry() [single-device compile+run]",
@@ -78,14 +111,18 @@ CHECKS = [
             "jax.block_until_ready(out)\n"
             "print('entry OK', out.shape, out.dtype)",
         ],
+        _validate_entry,
     ),
 ]
 
 
-def run_check(name, budget, extra_env, argv, grace=60.0):
+def run_check(name, budget, extra_env, argv, validate=None, grace=60.0):
     """Run one driver entry; return (ok, elapsed, tail). The subprocess is
     given ``budget + grace`` before a hard kill so an over-budget-but-alive
-    run still reports its elapsed time instead of an empty tail."""
+    run still reports its elapsed time instead of an empty tail.
+    ``validate`` inspects the combined output and returns an error string
+    when the OUTPUT CONTRACT is broken (rc=0 with garbage output would
+    otherwise ship a useless artifact)."""
     env = {
         k: v
         for k, v in os.environ.items()
@@ -111,10 +148,15 @@ def run_check(name, budget, extra_env, argv, grace=60.0):
         rc = -9
     elapsed = time.monotonic() - t0
     tail = "\n".join((out or "").strip().splitlines()[-6:])
-    ok = rc == 0 and elapsed <= budget
+    contract_error = None
+    if rc == 0 and validate is not None:
+        contract_error = validate(out or "")
+    ok = rc == 0 and elapsed <= budget and contract_error is None
     status = "OK" if ok else "FAIL"
     print(
-        f"[{status}] {name}: rc={rc} elapsed={elapsed:.1f}s budget={budget:.0f}s"
+        f"[{status}] {name}: rc={rc} elapsed={elapsed:.1f}s "
+        f"budget={budget:.0f}s"
+        + (f" contract={contract_error}" if contract_error else "")
     )
     if not ok:
         print(f"--- tail ---\n{tail}\n------------")
