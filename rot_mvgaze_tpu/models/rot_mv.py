@@ -321,6 +321,20 @@ class FeatRotationSymm(nn.Module):
 
     def setup(self) -> None:
         assert not (self.ignore_rotmat and self.encode_rotmat)
+        if self.share_feature and (self.encode_rotmat or self.share_weights):
+            # Both combos are unconstructible in the reference: with
+            # encode_rotmat its forward calls the 2-arg RotFeatFuser with 3
+            # args (/root/reference/models/rot_mv.py:219-225,80); with
+            # share_weights its constructor picks ImageFeatFuser over
+            # RotFeatFuser (:151-158) and the forward then feeds it a
+            # (B,3,512) tensor where (B,2048) is expected. No reference
+            # checkpoint of either shape can exist — refuse rather than
+            # invent semantics the paper never trained.
+            raise ValueError(
+                "share_feature cannot be combined with encode_rotmat or "
+                "share_weights (these combinations crash in the reference "
+                "model and have no trained counterpart)"
+            )
         if self.use_pallas_fusion and (
             self.ignore_rotmat or self.encode_rotmat or self.share_feature
         ):
@@ -444,12 +458,18 @@ class FeatRotationSymm(nn.Module):
             feat_0_prev = rotatable_feat_0
 
             if self.share_feature:
-                rotatable_feat_0 = img_fuser(
-                    img_feat_0, _rotate(rot_10, rotatable_feat_1), train
-                )
-                rotatable_feat_1 = img_fuser(
-                    img_feat_1, _rotate(rot_01, feat_0_prev), train
-                )
+                # ignore_rotmat composes with share_feature in the reference:
+                # its forward branches on ignore_rotmat BEFORE the rotating
+                # else-branch (/root/reference/models/rot_mv.py:226-232), so
+                # the RotFeatFuser consumes the UN-rotated partner feature
+                # in that ablation combo.
+                if self.ignore_rotmat:
+                    partner_1, partner_0 = rotatable_feat_1, feat_0_prev
+                else:
+                    partner_1 = _rotate(rot_10, rotatable_feat_1)
+                    partner_0 = _rotate(rot_01, feat_0_prev)
+                rotatable_feat_0 = img_fuser(img_feat_0, partner_1, train)
+                rotatable_feat_1 = img_fuser(img_feat_1, partner_0, train)
                 # NOTE: img_feat_{0,1} alias the INITIAL rotatable feats here
                 # (set above), matching /root/reference/models/rot_mv.py:201-203.
             elif self.encode_rotmat:

@@ -39,6 +39,12 @@ def initialize(
     BEFORE the first device use — so no ``jax.process_count()`` pre-check
     here, which would itself initialize the local-only backend.
     """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        # Benign re-init: a launcher wrapper (or an earlier
+        # build_experiment in this process) already initialized the
+        # cluster. jax 0.9 raises 'distributed.initialize should only be
+        # called once.' here — a healthy job, not an error.
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -50,8 +56,11 @@ def initialize(
         # proceed single-process) from a REAL multi-host init failure
         # (unreachable coordinator, bad process_id): silently degrading a
         # pod job to N independent single-host runs would train garbage with
-        # no error. If the caller or environment explicitly requested a
-        # cluster, re-raise.
+        # no error. "Cluster requested" covers explicit args, the explicit
+        # env contract, AND the auto-detection signals jax's cluster plugins
+        # key on (Slurm, Open MPI/PMI, multi-worker Cloud TPU pods,
+        # Megascale) — an unreachable coordinator on an auto-detected pod
+        # must fail loudly too.
         cluster_requested = (
             coordinator_address is not None
             or num_processes is not None
@@ -62,14 +71,29 @@ def initialize(
                 "JAX_COORDINATOR_ADDRESS",
                 "COORDINATOR_ADDRESS",
                 "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID",
+                "SLURM_JOB_ID",
+                "SLURM_NTASKS",
+                "OMPI_COMM_WORLD_SIZE",
+                "PMI_SIZE",
+                "MEGASCALE_COORDINATOR_ADDRESS",
             )
         )
+        # Multi-worker Cloud TPU pod: the TPU runtime publishes every
+        # worker's hostname; >1 entry means this host is part of a pod.
+        workers = _os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([w for w in workers.split(",") if w.strip()]) > 1:
+            cluster_requested = True
         msg = str(e).lower()
-        benign = "already initialized" in msg or not cluster_requested
+        benign = (
+            "already initialized" in msg
+            or "should only be called once" in msg
+            or not cluster_requested
+        )
         if not benign:
             raise RuntimeError(
-                f"jax.distributed.initialize failed for an explicitly "
-                f"configured cluster (coordinator="
+                f"jax.distributed.initialize failed for a configured or "
+                f"auto-detected cluster (coordinator="
                 f"{coordinator_address or 'env'}): {e}"
             ) from e
 

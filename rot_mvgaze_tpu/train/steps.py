@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rot_mvgaze_tpu.augment.ops import _train_preprocess_one, eval_preprocess
+from rot_mvgaze_tpu.augment.ops import eval_preprocess, train_preprocess
 from rot_mvgaze_tpu.geometry import rotation_matrix_2d
 from rot_mvgaze_tpu.geometry.gaze import angular_error as angular_error_jnp
 
@@ -39,16 +39,13 @@ def augment_views(
     image_size: int,
     dtype: Any = jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
-    """Apply the stochastic train stack to both uint8 views."""
+    """Apply the stochastic train stack to both uint8 views (one owner of
+    the per-batch split+vmap wiring: augment.ops.train_preprocess)."""
     k0, k1 = jax.random.split(key)
-    n = batch["img_0"].shape[0]
-    out = {}
-    for view, k in (("img_0", k0), ("img_1", k1)):
-        keys = jax.random.split(k, n)
-        out[view] = jax.vmap(
-            lambda kk, im: _train_preprocess_one(kk, im, image_size, dtype)
-        )(keys, batch[view])
-    return out
+    return {
+        view: train_preprocess(k, batch[view], image_size, dtype)
+        for view, k in (("img_0", k0), ("img_1", k1))
+    }
 
 
 def make_train_step(

@@ -89,6 +89,17 @@ CONFIGS = [
     pytest.param(
         dict(backbone_depth=18, num_iter=2, share_weights=True), id="r18-sharew"
     ),
+    pytest.param(
+        # share_feature + ignore_rotmat compose in the reference: the
+        # forward branches on ignore_rotmat BEFORE the rotating else-branch
+        # (/root/reference/models/rot_mv.py:226-232), so the RotFeatFuser
+        # consumes the UN-rotated partner feature (r4 review finding).
+        dict(
+            backbone_depth=18, num_iter=2,
+            share_feature=True, ignore_rotmat=True,
+        ),
+        id="r18-sharefeat-ignore",
+    ),
     pytest.param(dict(backbone_depth=50, num_iter=3), id="r50-default-shipped"),
 ]
 

@@ -286,6 +286,30 @@ class TestPallasBnDpGuard:
                 train=True,
             )
 
+    @pytest.mark.parametrize(
+        "combo",
+        [dict(encode_rotmat=True), dict(share_weights=True)],
+        ids=["encode_rotmat", "share_weights"],
+    )
+    def test_share_feature_invalid_combos_rejected(self, combo):
+        # Both combos are unconstructible in the reference (its forward
+        # crashes on fuser arity/shape, /root/reference/models/rot_mv.py:
+        # 151-158,219-225) — no trained checkpoint can exist, so refuse
+        # instead of inventing semantics.
+        from rot_mvgaze_tpu.models import FeatRotationSymm
+
+        model = FeatRotationSymm(
+            backbone_depth=18, num_iter=2, share_feature=True, **combo
+        )
+        data = {
+            "img_0": jnp.zeros((1, 32, 32, 3)),
+            "img_1": jnp.zeros((1, 32, 32, 3)),
+            "rot_0": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+            "rot_1": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+        }
+        with pytest.raises(ValueError, match="share_feature"):
+            model.init({"params": jax.random.PRNGKey(0)}, data)
+
 
 class TestBnStatSubsample:
     """Ghost-stat BN (r3 perf experiment): train-mode batch statistics from

@@ -170,7 +170,7 @@ def test_explicit_cluster_init_failure_raises():
         "try:\n"
         "    initialize(num_processes=2, process_id=0)\n"
         "except RuntimeError as e:\n"
-        "    assert 'explicitly' in str(e), e\n"
+        "    assert 'configured or auto-detected cluster' in str(e), e\n"
         "    print('RAISED-OK')\n"
         "else:\n"
         "    print('SILENT-DEGRADE')\n"
