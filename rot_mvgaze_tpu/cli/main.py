@@ -198,7 +198,12 @@ def configure_dataset(
 
     pair_rng = stdlib_random.Random(seed) if pairing == "reference" else None
 
-    dataset_setting, headpose_setting = exp_name.split("_")[0], exp_name.split("_")[1]
+    parts = exp_name.split("_")
+    if len(parts) != 2:
+        # e.g. a bare "xgaze": fail with the same error class as any other
+        # malformed name instead of an IndexError on parts[1]
+        raise NotImplementedError(exp_name)
+    dataset_setting, headpose_setting = parts
     if headpose_setting == "known":
         cam_train, cam_test = "all", "all"
     elif headpose_setting == "novel":
@@ -259,6 +264,19 @@ def build_experiment(config: SimpleNamespace):
     from rot_mvgaze_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+
+    if jax.process_count() > 1:
+        # One canonical run directory: main() timestamps output_dir with the
+        # host-local wall clock, and startup skew across hosts would split
+        # one run into N directories (no single resume dir, duplicated
+        # logs). Adopt process 0's path everywhere.
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        raw = str(getattr(config, "output_dir", "./logs")).encode()[:4096]
+        enc = _np.frombuffer(raw.ljust(4096, b"\0"), _np.uint8)
+        enc = multihost_utils.broadcast_one_to_all(enc)
+        config.output_dir = bytes(bytearray(enc)).rstrip(b"\0").decode()
 
     from rot_mvgaze_tpu.data import BatchLoader
     from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss

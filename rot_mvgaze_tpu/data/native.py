@@ -32,14 +32,17 @@ _BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "librmg_loader.so")
 
 _lib = None
+_lib_failed = False  # memoize a failed build: no toolchain won't appear mid-process
 _lib_lock = threading.Lock()
 
 
 def _load_library() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_failed:
+            return None
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
                 _SRC
@@ -66,6 +69,9 @@ def _load_library() -> Optional[ctypes.CDLL]:
                         os.unlink(tmp_so)
             lib = ctypes.CDLL(_SO)
         except (OSError, subprocess.CalledProcessError):
+            # cache the failure: every later available() / NativePool call
+            # would otherwise re-run the g++ subprocess just to fail again
+            _lib_failed = True
             return None
         lib.rmg_pool_create.restype = ctypes.c_void_p
         lib.rmg_pool_create.argtypes = [ctypes.c_int]
@@ -119,13 +125,9 @@ class NativePool:
             c = ctypes.c_int()
             lib.rmg_file_info(self._pool, idx, n, h, w, c)
             self.shapes.append((n.value, h.value, w.value, c.value))
-        # Gather buffers are allocated with shapes[0]'s per-sample stride; a
-        # pool over mixed-resolution archives would write past them in C++.
-        hwc = {s[1:] for s in self.shapes}
-        if len(hwc) > 1:
-            raise ValueError(
-                f"packed files disagree on image shape (H, W, C): {sorted(hwc)}"
-            )
+        # Geometry uniformity (all packs share one H, W, C) is enforced by
+        # AddFile itself: any mismatch with the pool's first file returns -4
+        # above, so shapes[0]'s per-sample stride is valid for every file.
 
     @staticmethod
     def available() -> bool:
@@ -221,6 +223,35 @@ class PackedGazeDataset:
             sizes, camera_tag, pairing=pairing, pair_rng=pair_rng,
             seed=seed, pair_index=pair_index,
         )
+        # Bounds-check the pair index against the packs' ACTUAL row counts.
+        # An externally supplied pair_index (the CLI passes the one built
+        # from the live h5 sizes) combined with a stale pack (source file
+        # replaced without advancing its mtime — cp -p / rsync -a / same-
+        # second rewrite defeats pack_dataset's mtime freshness check) would
+        # otherwise drive the C++ gather's memcpy past the mmap'd extent:
+        # a SIGBUS that kills the process with no Python traceback.
+        kv = np.asarray(self.idx_to_kv, np.int64).reshape(-1, 3)
+        if kv.size:
+            if kv[:, 0].min() < 0 or kv[:, 0].max() >= len(sizes):
+                raise ValueError(
+                    f"pair index references file {int(kv[:, 0].max())} but "
+                    f"only {len(sizes)} packed files exist"
+                )
+            limits = np.asarray(sizes, np.int64)[kv[:, 0]]
+            bad = (
+                (kv[:, 1] < 0) | (kv[:, 1] >= limits)
+                | (kv[:, 2] < 0) | (kv[:, 2] >= limits)
+            )
+            if bad.any():
+                i = int(np.argmax(bad))
+                key = keys_to_use[int(kv[i, 0])]
+                raise ValueError(
+                    f"pair index row {i} references sample "
+                    f"{int(max(kv[i, 1], kv[i, 2]))} of '{key}' but its pack "
+                    f"holds only {int(limits[i])} rows — the pack is stale "
+                    f"(source archive changed without advancing its mtime). "
+                    f"Delete '{cache_dir}' to re-pack."
+                )
         self.pool: Optional[NativePool] = None
         if use_native and NativePool.available():
             self.pool = NativePool(self.paths)
@@ -273,6 +304,12 @@ class NativeBatchLoader:
         self.process_shard = process_shard
         self.epoch = 0
         # flat (file, row, row_b) arrays for vectorized batch index math
+        if len(dataset.idx_to_kv) == 0:
+            # np.asarray([]) is 1-D; kv[:, 0] would raise a bare IndexError
+            raise ValueError(
+                "dataset pair index is empty (no frame has >= 2 cameras in "
+                "this split) — nothing to load"
+            )
         kv = np.asarray(dataset.idx_to_kv, np.int64)
         self._files = kv[:, 0].astype(np.int32)
         self._rows = kv[:, 1]

@@ -44,6 +44,54 @@ MODEL_CONFIG_KEYS = (
 )
 
 
+def _validate_views(
+    img_0: np.ndarray,
+    img_1: np.ndarray,
+    head_pose_0: np.ndarray,
+    head_pose_1: np.ndarray,
+    image_size: "int | None" = None,
+) -> int:
+    """Validate a two-view request; returns the batch size N.
+
+    The compiled pipeline divides pixels by 255 on device, so float inputs
+    (ToTensor-style, already in [0,1]) would be normalized twice and produce
+    silently wrong predictions — reject anything but uint8. Batch dims must
+    agree across all four fields (padding a short head-pose array would
+    silently fabricate poses). When ``image_size`` is given, H and W must
+    match it exactly (fixed-shape serving executable).
+    """
+    imgs = (("img_0", img_0), ("img_1", img_1))
+    n = int(np.shape(img_0)[0]) if np.ndim(img_0) >= 1 else -1
+    for name, a in imgs:
+        a = np.asarray(a)
+        if a.ndim != 4 or a.shape[-1] != 3:
+            raise ValueError(
+                f"{name} must be (N, H, W, 3) uint8, got {a.shape}"
+            )
+        if a.dtype != np.uint8:
+            raise ValueError(
+                f"{name} must be uint8 (raw pixels; normalization runs on "
+                f"device — float input would be /255'd a second time), got "
+                f"{a.dtype}"
+            )
+        if a.shape[0] != n:
+            raise ValueError("all fields must share the batch dimension")
+        if image_size is not None and a.shape[1:3] != (
+            image_size,
+            image_size,
+        ):
+            raise ValueError(
+                f"{name} must be (N, {image_size}, {image_size}, 3) — the "
+                f"server compiles one fixed-shape executable; got "
+                f"{a.shape}. Resize client-side or run a server at this "
+                f"resolution."
+            )
+    for name, a in (("head_pose_0", head_pose_0), ("head_pose_1", head_pose_1)):
+        if np.shape(a) != (n, 2):
+            raise ValueError(f"{name} must be ({n}, 2), got {np.shape(a)}")
+    return n
+
+
 def load_variables_for_model(path: str, model: Any) -> Dict[str, Any]:
     """Load serving variables from a native msgpack checkpoint or a
     reference ``.pth.tar`` (converted using the model's config)."""
@@ -149,6 +197,13 @@ class GazePredictor:
         # ranges); filled by calibrate() / auto-calibration on the first
         # request. Checkpoints never carry it — it is serving-side state.
         self._int8_static = int8 == "static"
+        if calibration_path is not None and not self._int8_static:
+            # only the static path ever reads or writes it; accepting it
+            # elsewhere would let a user believe ranges are persisted
+            raise ValueError(
+                "calibration_path requires int8='static' (dynamic int8 and "
+                "bf16 serving have no persistent activation ranges)"
+            )
         self._calibrated = False
         # calibration mutates self.variables; concurrent first requests must
         # not interleave the read-modify-write (BatchingPredictor serializes
@@ -213,9 +268,11 @@ class GazePredictor:
         """(N,H,W,3) uint8 x2 views + (N,2) head poses -> (N,2) pitchyaw.
 
         Any N: requests are served in fixed micro-batches (last one padded),
-        so only one executable is ever compiled.
+        so only one executable is ever compiled. Images at a resolution
+        other than ``image_size`` are accepted (resized on device) but each
+        distinct resolution compiles its own executable.
         """
-        n = img_0.shape[0]
+        n = _validate_views(img_0, img_1, head_pose_0, head_pose_1)
         if n == 0:
             return np.zeros((0, 2), np.float32)
         ran_calib = self._int8_static and not self._calibrated
@@ -287,6 +344,7 @@ class GazePredictor:
         calibration data."""
         if not self._int8_static:
             raise RuntimeError("calibrate() requires int8='static'")
+        _validate_views(img_0, img_1, head_pose_0, head_pose_1)
         out = self._predict(
             img_0, img_1, head_pose_0, head_pose_1, force_calib=True
         )
@@ -401,9 +459,6 @@ class BatchingPredictor:
         head_pose_0: np.ndarray,
         head_pose_1: np.ndarray,
     ) -> np.ndarray:
-        n = int(img_0.shape[0])
-        if n == 0:
-            return np.zeros((0, 2), np.float32)
         req = {
             "img_0": np.asarray(img_0),
             "img_1": np.asarray(img_1),
@@ -412,25 +467,19 @@ class BatchingPredictor:
         }
         # Validate BEFORE enqueueing: one malformed request must fail in its
         # own calling thread, never poison a coalesced batch of strangers.
-        for k in ("img_0", "img_1"):
-            if req[k].ndim != 4 or req[k].shape[-1] != 3:
-                raise ValueError(
-                    f"{k} must be (N, H, W, 3) uint8, got {req[k].shape}"
-                )
-            if req[k].dtype != np.uint8:
-                # dtype is not part of the coalescing key: a float request
-                # merged with uint8 strangers would promote the whole
-                # concatenated batch, retrace a second executable, and get
-                # its pixels /255'd a second time — reject it here instead
-                raise ValueError(
-                    f"{k} must be uint8 (raw pixels, normalized on device), "
-                    f"got {req[k].dtype}"
-                )
-            if req[k].shape[0] != n:
-                raise ValueError("all fields must share the batch dimension")
-        for k in ("head_pose_0", "head_pose_1"):
-            if req[k].shape != (n, 2):
-                raise ValueError(f"{k} must be (N, 2), got {req[k].shape}")
+        # Resolution is pinned to the predictor's image_size here (unlike
+        # direct GazePredictor use): an off-size request would recompile a
+        # fresh executable INSIDE the single dispatcher thread, stalling
+        # every coalesced caller behind it.
+        n = _validate_views(
+            req["img_0"],
+            req["img_1"],
+            req["head_pose_0"],
+            req["head_pose_1"],
+            image_size=self.predictor.image_size,
+        )
+        if n == 0:
+            return np.zeros((0, 2), np.float32)
         done = threading.Event()
         out: dict = {}
         with self._cv:

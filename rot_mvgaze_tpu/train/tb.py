@@ -186,6 +186,25 @@ class SummaryWriter:
         self._f.close()
 
 
+class NullSummaryWriter:
+    """No-op SummaryWriter for non-primary hosts in multi-host runs: state
+    is replicated, so N hosts writing N copies of the same scalars/images
+    only wastes disk and (on a shared filesystem) clutters one run's
+    tensorboard dir with duplicate event streams."""
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def add_image(self, tag: str, image: np.ndarray, step: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def _encode_png(img: np.ndarray) -> bytes:
     try:
         from PIL import Image

@@ -200,25 +200,44 @@ class Trainer:
                     f"restored full training state at step {int(self.state.step)}"
                 )
             self._resume_tree = None  # free the parsed tree
+        if jax.process_count() > 1:
+            # Hosts must start bitwise-identical: DP collectives average
+            # GRADIENTS, never parameters, so a resume where only some hosts
+            # see the checkpoint (checkpoints are written by process 0 only;
+            # filesystems may not be shared) would silently diverge forever.
+            # One-time broadcast of the whole state from process 0.
+            from jax.experimental import multihost_utils
+
+            self.state = multihost_utils.broadcast_one_to_all(self.state)
         if self.mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
 
             self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
 
         # ---- output dirs / logging ----
+        # State is replicated across hosts, so file outputs (TB events,
+        # checkpoints, test_results.txt, config snapshot) are written by
+        # process 0 only — N identical copies at best, same-file collisions
+        # on a shared filesystem at worst.
+        self._is_primary = jax.process_index() == 0
         self.output_dir = getattr(config, "output_dir", "./logs")
         os.makedirs(self.output_dir, exist_ok=True)
         self.ckpt_dir = osp.join(self.output_dir, "ckpt")
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        self.writer = SummaryWriter(osp.join(self.output_dir, "tensorboard"))
-        # config snapshot (reference: OmegaConf.save -> config.yaml,
-        # /root/reference/trainer.py:70)
-        import yaml
+        if self._is_primary:
+            self.writer = SummaryWriter(osp.join(self.output_dir, "tensorboard"))
+            # config snapshot (reference: OmegaConf.save -> config.yaml,
+            # /root/reference/trainer.py:70)
+            import yaml
 
-        with open(osp.join(self.output_dir, "config.yaml"), "w") as f:
-            yaml.safe_dump(
-                {k: v for k, v in vars(config).items() if _jsonable(v)}, f
-            )
+            with open(osp.join(self.output_dir, "config.yaml"), "w") as f:
+                yaml.safe_dump(
+                    {k: v for k, v in vars(config).items() if _jsonable(v)}, f
+                )
+        else:
+            from rot_mvgaze_tpu.train.tb import NullSummaryWriter
+
+            self.writer = NullSummaryWriter()
 
         self.epochs = int(getattr(config, "epochs", 15))
         self.save_epoch = int(getattr(config, "save_epoch", 10))
@@ -540,8 +559,9 @@ class Trainer:
         # logged at epoch+1 (pre-training eval -> step 0): TensorBoard
         # mishandles negative steps (VERDICT r1).
         self.writer.add_scalar("test/epoch_error_gaze", avg_error, epoch + 1)
-        with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
-            f.write(msg)
+        if self._is_primary:
+            with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
+                f.write(msg)
         self.writer.flush()
         return avg_error
 
@@ -609,8 +629,9 @@ class Trainer:
                     + report
                 )
         print(report, end="")
-        with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
-            f.write(report)
+        if self._is_primary:
+            with open(osp.join(self.output_dir, "test_results.txt"), "a") as f:
+                f.write(report)
         return detail
 
     def _allgather_camera_breakdown(self) -> Dict[str, Any]:
@@ -655,6 +676,13 @@ class Trainer:
 
         name = add if add is not None else "ckpt"
         path = osp.join(self.ckpt_dir, name + ".msgpack")
+        if not self._is_primary:
+            # state is replicated: process 0's save IS the complete
+            # checkpoint; concurrent same-path writes on a shared
+            # filesystem would corrupt it (Trainer.__init__ broadcasts
+            # state from process 0 on resume, so non-shared filesystems
+            # resume correctly too)
+            return path
         save_state(path, self.state)
         print(f"save file to: {path}")
         # Retention: keep only the newest N checkpoints when configured

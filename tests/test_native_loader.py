@@ -252,3 +252,36 @@ class TestCorruptionSafety:
             f.write(b"RMGPACK1XX")  # magic but no header
         with pytest.raises(IOError):
             NativePool([bad])
+
+
+@needs_native
+class TestPairIndexValidation:
+    """r4 review batch 4: bad pair indices must fail in Python, never reach
+    the C++ gather's memcpy (SIGBUS with no traceback)."""
+
+    def test_empty_pair_index_raises_cleanly(self, tmp_path):
+        # np.asarray([]) is 1-D; kv[:, 0] used to raise a bare IndexError
+        write_synthetic_dataset(str(tmp_path), ["a.h5"], n_frames=2)
+        ds = PackedGazeDataset(
+            "xgaze", str(tmp_path), "bgr", ["a.h5"], seed=0, pair_index=[]
+        )
+        with pytest.raises(ValueError, match="empty"):
+            NativeBatchLoader(ds, batch_size=4)
+
+    def test_out_of_range_pair_index_rejected(self, tmp_path):
+        # a stale pack (source replaced without advancing its mtime) leaves
+        # the pack shorter than the h5-derived pair index expects
+        write_synthetic_dataset(str(tmp_path), ["a.h5"], n_frames=2)
+        with pytest.raises(ValueError, match="stale"):
+            PackedGazeDataset(
+                "xgaze", str(tmp_path), "bgr", ["a.h5"], seed=0,
+                pair_index=[(0, 10_000, 0)],
+            )
+
+    def test_out_of_range_file_key_rejected(self, tmp_path):
+        write_synthetic_dataset(str(tmp_path), ["a.h5"], n_frames=2)
+        with pytest.raises(ValueError, match="packed files"):
+            PackedGazeDataset(
+                "xgaze", str(tmp_path), "bgr", ["a.h5"], seed=0,
+                pair_index=[(3, 0, 0)],
+            )

@@ -160,3 +160,14 @@ def test_rng_mode_differs_but_same_distributional_shape(corpora):
     assert len(ref_mode) == len(rng_mode)
     assert [t[:2] for t in ref_mode] == [t[:2] for t in rng_mode]
     assert ref_mode != rng_mode
+
+
+def test_configure_dataset_rejects_malformed_exp_name():
+    """A bare dataset prefix ('xgaze') must fail with NotImplementedError
+    like every other malformed exp_name, not an IndexError on the split
+    (r4 review batch 4)."""
+    from rot_mvgaze_tpu.cli.main import configure_dataset
+
+    for bad in ("xgaze", "", "xgaze_known_extra"):
+        with pytest.raises(NotImplementedError):
+            configure_dataset(bad, {})

@@ -244,3 +244,62 @@ def test_batching_predictor_rejects_non_uint8(ckpt_path):
             bp.predict(bad, bad, hp, hp)
     finally:
         bp.close()
+
+
+def test_gaze_predictor_validates_requests(ckpt_path):
+    """Direct GazePredictor.predict must reject malformed requests instead
+    of silently producing garbage (r4 review batch 4): float images would be
+    /255'd a second time on device, and a short head-pose array would be
+    silently padded with fabricated poses."""
+    pred = GazePredictor(
+        ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+        image_size=32, dtype=jnp.float32,
+    )
+    img = np.zeros((2, 32, 32, 3), np.uint8)
+    hp = np.zeros((2, 2), np.float32)
+    # float pixels (ToTensor-style, already [0,1]) -> double normalization
+    with pytest.raises(ValueError, match="uint8"):
+        pred.predict(img.astype(np.float32) / 255.0, img, hp, hp)
+    # mismatched batch dims across fields
+    with pytest.raises(ValueError, match="batch dimension"):
+        pred.predict(img, img[:1], hp, hp)
+    with pytest.raises(ValueError, match="head_pose_0"):
+        pred.predict(img, img, hp[:1], hp)
+    # wrong rank / channel count
+    with pytest.raises(ValueError, match="N, H, W, 3"):
+        pred.predict(img[..., :2], img[..., :2], hp, hp)
+    # calibrate() shares the same validation (static-int8 only, but the
+    # dtype rule is identical) -- non-static predictors reject earlier
+    with pytest.raises(RuntimeError, match="static"):
+        pred.calibrate(img, img, hp, hp)
+
+
+def test_batching_predictor_rejects_off_resolution(ckpt_path):
+    """An off-resolution request would recompile a fresh executable inside
+    the single dispatcher thread, stalling every coalesced caller behind it
+    -- reject it in the caller's own thread (r4 review batch 4)."""
+    from rot_mvgaze_tpu.serving import BatchingPredictor
+
+    inner = GazePredictor(
+        ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+        image_size=32, dtype=jnp.float32,
+    )
+    bp = BatchingPredictor(inner, max_delay_ms=5.0)
+    try:
+        bad = np.zeros((1, 64, 64, 3), np.uint8)
+        hp = np.zeros((1, 2), np.float32)
+        with pytest.raises(ValueError, match="fixed-shape"):
+            bp.predict(bad, bad, hp, hp)
+    finally:
+        bp.close()
+
+
+def test_calibration_path_requires_static_int8(ckpt_path):
+    """calibration_path is only read/written on the static-int8 path;
+    accepting it elsewhere lets the user believe activation ranges are
+    persisted while nothing happens (r4 review batch 4)."""
+    with pytest.raises(ValueError, match="calibration_path"):
+        GazePredictor(
+            ckpt_path, backbone_depth=18, num_iter=1, image_size=32,
+            int8=True, calibration_path="ranges.msgpack",
+        )
