@@ -161,7 +161,10 @@ def _bwd(res, g):
     dw1 = jnp.einsum("bk,bh->kh", x, g)
     db1 = jnp.sum(g, axis=0)
     dx = jnp.einsum("bh,kh->bk", g, w1)
-    dimg = dx[:, :d]
+    # match the primal aval: with bf16 img_feat and f32 w1 (a legal mixed-
+    # dtype call the forward kernel accepts), dx promotes to f32 and an
+    # uncast dimg would fail custom_vjp's cotangent-dtype check at trace time
+    dimg = dx[:, :d].astype(img_feat.dtype)
     drotated = dx[:, d:].reshape(-1, 3, v)
     # d/d rot_feat: rotated = rot @ feat  =>  dfeat = rot^T @ drotated
     dfeat = jnp.einsum(

@@ -21,11 +21,26 @@ from flax import serialization
 
 
 def save_state(path: str, state: Any) -> str:
-    """Save any pytree (TrainState or bare variables) to one msgpack file."""
+    """Save any pytree (TrainState or bare variables) to one msgpack file.
+
+    Atomic: written to a temp file in the same directory, fsync'd, then
+    renamed over the target. A preemption mid-write must never leave a
+    truncated .msgpack with the newest mtime — ``find_latest_checkpoint``
+    would select it and every ``--auto_resume`` restart would fail on the
+    unpack error instead of falling back to the intact previous save.
+    """
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(state)))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(state)))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 

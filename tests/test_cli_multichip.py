@@ -313,7 +313,15 @@ class TestBenchSmoke:
         assert out.returncode == 0, out.stderr[-3000:]
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         rec = json.loads(line)
-        assert rec["metric"] == "rotmv_r50_train_step_throughput"
+        # overridden workload (BENCH_DEPTH=18/SIZE=32/ITERS=1): the record
+        # must label what it actually measured, and must NOT report a
+        # vs_baseline ratio against the R50/224^2 A100 estimate
+        assert rec["metric"] == "rotmv_r18_train_step_throughput"
+        assert "32^2" in rec["unit"]
+        assert rec["vs_baseline"] is None
+        assert rec["config"] == {
+            "backbone_depth": 18, "num_iter": 1, "image_size": 32,
+        }
         assert rec["value"] > 0 and np.isfinite(rec["value"])
         assert rec["n_chips"] == 8
         # the record is self-consistent by construction: total is derived

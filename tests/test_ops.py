@@ -127,3 +127,24 @@ def test_rotate_concat_grad_with_bf16_bias():
     g = jax.grad(loss)(b1)
     assert g.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_rotate_concat_grad_mixed_bf16_activations_f32_weights():
+    """bf16 activations with f32 weights is a legal call the forward kernel
+    accepts; the dimg cotangent must be cast back to the bf16 primal dtype
+    or custom_vjp rejects it at trace time (r4 review batch 5)."""
+    img, feat, rot, w1, b1 = _inputs(b=128, d=128, v=128, h=256)
+    img = img.astype(jnp.bfloat16)
+    feat = feat.astype(jnp.bfloat16)
+
+    def loss(img, feat):
+        return jnp.sum(
+            rotate_concat_matmul_relu(img, feat, rot, w1, b1).astype(
+                jnp.float32
+            )
+        )
+
+    gi, gf = jax.grad(loss, argnums=(0, 1))(img, feat)
+    assert gi.dtype == jnp.bfloat16
+    assert gf.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(gi, np.float32)).all()

@@ -350,3 +350,39 @@ def test_params_only_checkpoint_rejected_for_bn_model():
     # a genuinely BN-free template still loads fine
     out = variables_from_tree(tree, {"params": {}, "batch_stats": {}})
     assert out["batch_stats"] == {}
+
+
+class TestAtomicCheckpointSave:
+    """save_state must be atomic (tmp + fsync + rename): a preemption
+    mid-write used to leave a truncated .msgpack with the newest mtime,
+    which find_latest_checkpoint would then select and every --auto_resume
+    restart would crash on (r4 review batch 5)."""
+
+    def test_failed_save_preserves_previous_checkpoint(self, tmp_path):
+        import glob as _glob
+
+        from rot_mvgaze_tpu.train.checkpoints import restore_tree, save_state
+
+        path = str(tmp_path / "ckpt.msgpack")
+        save_state(path, {"a": np.arange(4, dtype=np.float32)})
+        before = open(path, "rb").read()
+
+        class Unserializable:
+            pass
+
+        with pytest.raises(Exception):
+            save_state(path, {"a": Unserializable()})
+        # the target file is untouched and still parses; no tmp litter
+        assert open(path, "rb").read() == before
+        np.testing.assert_array_equal(
+            restore_tree(path)["a"], np.arange(4, dtype=np.float32)
+        )
+        assert _glob.glob(str(tmp_path / "*.tmp.*")) == []
+
+    def test_tmp_files_never_match_checkpoint_glob(self, tmp_path):
+        # find_latest_checkpoint globs *.msgpack; in-flight temp names must
+        # not match it (a crash between write and rename leaves only .tmp.*)
+        from rot_mvgaze_tpu.train.checkpoints import find_latest_checkpoint
+
+        (tmp_path / "ckpt.msgpack.tmp.123").write_bytes(b"partial")
+        assert find_latest_checkpoint(str(tmp_path)) is None
