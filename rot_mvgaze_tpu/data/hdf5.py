@@ -89,9 +89,13 @@ class GazeDataset:
         # Lazy per-thread archive handles (SWMR lets concurrent readers share
         # the files, mirroring /root/reference/dataset/gaze.py:54-56,99-103).
         self._local = threading.local()
-        # every thread's handles, for close(): threading.local hides other
-        # threads' attributes from the closing thread
-        self._open_handles: List["h5py.File"] = []
+        # every thread's handles keyed by owning thread, for close() AND for
+        # pruning: threading.local hides other threads' attributes from the
+        # closing thread, and loaders build a FRESH thread pool per epoch —
+        # without pruning, every epoch would leak num_threads x num_files
+        # open descriptors from the previous epoch's dead workers until the
+        # process hits its fd limit.
+        self._open_handles: List[tuple] = []  # (thread, [h5py.File, ...])
         self._handles_lock = threading.Lock()
         # bumped by close(); stale threads whose handles were closed reopen
         # on their next access instead of erroring on a closed file
@@ -105,11 +109,25 @@ class GazeDataset:
             # no future close() could see. Opens happen only on generation
             # change, so lock contention here is negligible.
             with self._handles_lock:
+                # prune dead threads' registrations first (a dead thread
+                # cannot be mid-read, so closing its handles is safe); this
+                # bounds the registry at the number of LIVE reader threads
+                dead = [e for e in self._open_handles if not e[0].is_alive()]
+                if dead:
+                    self._open_handles = [
+                        e for e in self._open_handles if e[0].is_alive()
+                    ]
                 handles = [
                     h5py.File(p, "r", swmr=True) for p in self.file_paths
                 ]
                 gen = self._generation
-                self._open_handles.extend(handles)
+                self._open_handles.append((threading.current_thread(), handles))
+            for _t, hs in dead:
+                for f in hs:
+                    try:
+                        f.close()
+                    except Exception:
+                        pass
             self._local.archives = handles
             self._local.generation = gen
         return self._local.archives
@@ -162,12 +180,13 @@ class GazeDataset:
         a dead handle, so the dataset stays usable post-close.
         """
         with self._handles_lock:
-            handles, self._open_handles = self._open_handles, []
+            entries, self._open_handles = self._open_handles, []
             self._generation += 1
-        for f in handles:
-            try:
-                f.close()
-            except Exception:
-                pass
+        for _t, handles in entries:
+            for f in handles:
+                try:
+                    f.close()
+                except Exception:
+                    pass
         if hasattr(self._local, "archives"):
             del self._local.archives

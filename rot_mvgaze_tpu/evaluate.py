@@ -61,21 +61,29 @@ def _eval_forward(model: Any, image_size: int, single_view: bool):
     except TypeError:
         key = None
 
-    @jax.jit
-    def fwd(variables, batch):
-        data: Dict[str, Any] = {
-            "img_0": eval_preprocess(batch["img_0"], image_size)
-        }
-        if not single_view:
-            data["img_1"] = eval_preprocess(batch["img_1"], image_size)
-            data["rot_0"] = rotation_matrix_2d(
-                batch["head_pose_0"].astype(jnp.float32)
-            )
-            data["rot_1"] = rotation_matrix_2d(
-                batch["head_pose_1"].astype(jnp.float32)
-            )
-        out = model.apply(variables, data, train=False)
-        return out["pred_gaze"]
+    if single_view:
+
+        @jax.jit
+        def fwd(variables, batch):
+            data: Dict[str, Any] = {
+                "img_0": eval_preprocess(batch["img_0"], image_size)
+            }
+            out = model.apply(variables, data, train=False)
+            return out["pred_gaze"]
+
+    else:
+        # ONE owner of the two-view eval-forward protocol: Trainer.test and
+        # evaluate_gaze must run the identical preprocess+rotation+apply
+        # chain or the same checkpoint could report incomparable metrics.
+        from rot_mvgaze_tpu.train.steps import make_eval_step
+
+        eval_step = make_eval_step(model, image_size=image_size)
+
+        @jax.jit
+        def fwd(variables, batch):
+            return eval_step(
+                variables["params"], variables.get("batch_stats", {}), batch
+            )["pred_gaze"]
 
     if key is not None:
         _FORWARD_CACHE[key] = fwd
@@ -136,10 +144,16 @@ def evaluate_gaze_detailed(
     # sample; its predictions are trimmed before the metric.
     full_bs = None
     for batch in loader:
+        # gt keys ride along for the shared make_eval_step (it echoes them
+        # back; predictions are what we read) — the metric itself is still
+        # computed host-side in float64 from the loader's original labels
         device_batch = {
             k: np.asarray(v)
             for k, v in batch.items()
-            if k in ("img_0", "img_1", "head_pose_0", "head_pose_1")
+            if k in (
+                "img_0", "img_1", "head_pose_0", "head_pose_1",
+                "gt_gaze", "gt_gaze_1",
+            )
         }
         bs = device_batch["img_0"].shape[0]
         if full_bs is None:

@@ -157,7 +157,17 @@ class Trainer:
             n_train = len(train_loader.dataset)
         batch_size = int(getattr(train_loader, "batch_size", None)
                          or getattr(config, "batch_size", 50))
-        steps_per_epoch = max(n_train // batch_size, 1)
+        if train_loader is not None and hasattr(type(train_loader), "__len__"):
+            # len() accounts for drop_last (the reference sizes the cycle
+            # from len(train_loader) too, /root/reference/trainer.py:56-58).
+            # With a non-drop_last loader an epoch runs ceil(n/bs) optimizer
+            # steps; deriving steps_per_epoch as floor(n/bs) would let the
+            # 'epoch'-mode schedule position (step // steps_per_epoch) drift
+            # ahead of the reference's once-per-epoch CyclicLR.step().
+            steps_per_epoch = max(len(train_loader), 1)
+        else:
+            steps_per_epoch = max(n_train // batch_size, 1)
+        self.steps_per_epoch = steps_per_epoch
         step_size_up = max(steps_per_epoch // 2, 1)
         step_size_down = max(steps_per_epoch - step_size_up, 1)
         scheduler_step = getattr(config, "scheduler_step", "epoch")
@@ -242,7 +252,11 @@ class Trainer:
         self.epochs = int(getattr(config, "epochs", 15))
         self.save_epoch = int(getattr(config, "save_epoch", 10))
         self.print_freq = int(getattr(config, "print_freq", 50))
-        self.train_iter = 0
+        # Resume-aware: TB train scalars are logged at train_iter, so a
+        # full-state resume must continue the x-axis at the restored step —
+        # restarting at 0 re-emits steps 0..N into the same tensorboard dir
+        # and zig-zags every training curve of the preemption-resume flow.
+        self.train_iter = int(self.state.step)
 
         print(parameter_table(self.state.params))
         print(f"total params: {count_parameters(self.state.params):,}")
@@ -384,7 +398,10 @@ class Trainer:
             error = self.test(-1)
             for epoch in range(self.epochs):
                 self.train_one_epoch(epoch)
-                if self._preempted:
+                # agreement, not the local flag: a signal landing after the
+                # epoch's last in-loop sync must not let one host save+exit
+                # while the others enter test()'s collectives
+                if self._preempt_agreed():
                     self.save_checkpoint(add=f"preempt_epoch_{epoch:02d}")
                     print("preempted: state saved, exiting train loop")
                     return float("nan")
@@ -430,15 +447,42 @@ class Trainer:
                 self.writer.add_scalar("train/error_gaze", err, self.train_iter)
                 self.writer.add_scalar("train/lr", float(stats["lr"]), self.train_iter)
                 for view in ("img_0", "img_1"):
-                    self.writer.add_image(
-                        f"train/images_{view[-1]}",
-                        make_image_grid(self._to_local_numpy(stats[view])),
-                        self.train_iter,
-                    )
+                    local = self._to_local_numpy(stats[view])
+                    if local.shape[0]:
+                        self.writer.add_image(
+                            f"train/images_{view[-1]}",
+                            make_image_grid(local),
+                            self.train_iter,
+                        )
             self.train_iter += 1
-            if getattr(self, "_preempted", False):
+            if self._preempt_agreed():
                 break
         self.writer.flush()
+
+    def _preempt_agreed(self) -> bool:
+        """Preemption exit decision every host makes IDENTICALLY.
+
+        Signal delivery is per-host and timing-dependent: under multi-host
+        DP, one host breaking at iteration i while another dispatches
+        iteration i+1 deadlocks the survivor in the gradient all-reduce (and
+        process 0 — the only checkpoint writer — may be the survivor, so
+        nothing gets saved). Allgather the local flags and exit only when
+        ANY host requested it, at the same iteration everywhere. Cost: one
+        int32 process allgather per train iteration, multi-host only.
+        """
+        flag = bool(getattr(self, "_preempted", False))
+        if jax.process_count() == 1:
+            return flag
+        from jax.experimental import multihost_utils
+
+        agreed = bool(
+            np.any(multihost_utils.process_allgather(np.int32(flag)))
+        )
+        if agreed:
+            # adopt globally: later checks (epoch boundary in train()) must
+            # see the same decision even on hosts that got no signal
+            self._preempted = True
+        return agreed
 
     @staticmethod
     def _to_local_numpy(arr) -> np.ndarray:
@@ -458,6 +502,12 @@ class Trainer:
             # full array would make every host record host 0's rows.
             g = np.asarray(arr)
             per = g.shape[0] // jax.process_count()
+            if per == 0:
+                # fewer rows than processes (the step's image previews are
+                # capped at 8 rows): an empty per-host slice would crash
+                # make_image_grid — share the leading rows instead (only
+                # process 0 writes TB anyway)
+                return g
             i = jax.process_index()
             return g[i * per : (i + 1) * per]
         by_index = {}
@@ -469,6 +519,11 @@ class Trainer:
             by_index.values(),
             key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
         )
+        if not shards:
+            # none of this host's devices hold any rows (e.g. an 8-row
+            # preview sharded over >8 processes' devices): empty, callers
+            # skip logging it
+            return np.zeros((0,) + tuple(arr.shape[1:]), arr.dtype)
         return np.concatenate([np.asarray(s.data) for s in shards])
 
     def test(self, epoch: int) -> float:
@@ -529,11 +584,13 @@ class Trainer:
             save_index += bs
             if i != 0 and i % self.print_freq == 0:
                 for view in ("img_0", "img_1"):
-                    self.writer.add_image(
-                        f"test/images_{view[-1]}",
-                        make_image_grid(self._to_local_numpy(out[view])),
-                        i,
-                    )
+                    local = self._to_local_numpy(out[view])
+                    if local.shape[0]:
+                        self.writer.add_image(
+                            f"test/images_{view[-1]}",
+                            make_image_grid(local),
+                            i,
+                        )
         if save_index != n_test:
             print(f"test saved {save_index} != dataset size {n_test}")
         errors = angular_error_numpy(pred_all[:save_index], gt_all[:save_index])
@@ -728,4 +785,14 @@ class Trainer:
 
 
 def _jsonable(v: Any) -> bool:
-    return isinstance(v, (str, int, float, bool, type(None), list, tuple, dict))
+    """True if v survives yaml.safe_dump — checked by actually trying it.
+    A top-level type check let lists/dicts CONTAINING non-representable
+    values (Path, enum, numpy scalar) through, and safe_dump then crashed
+    Trainer.__init__ before a single step ran."""
+    import yaml
+
+    try:
+        yaml.safe_dump(v)
+        return True
+    except yaml.YAMLError:
+        return False

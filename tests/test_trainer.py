@@ -237,6 +237,9 @@ class TestFailureRecovery:
         cfg2 = _make_config(tmp_path, ckpt_resume=path)
         trainer2 = Trainer(cfg2, model, _metrics(), train_loader, test_loader)
         assert int(trainer2.state.step) == 3
+        # TB x-axis continues at the restored step: restarting train_iter at
+        # 0 re-emits steps 0..N over the earlier run's curves (r4 batch 6)
+        assert trainer2.train_iter == 3
         a = jax.tree.leaves(trainer.state.opt_state)
         b = jax.tree.leaves(trainer2.state.opt_state)
         for x, y in zip(a, b):
@@ -386,3 +389,101 @@ class TestAtomicCheckpointSave:
 
         (tmp_path / "ckpt.msgpack.tmp.123").write_bytes(b"partial")
         assert find_latest_checkpoint(str(tmp_path)) is None
+
+
+class TestRound4Batch6Fixes:
+    def test_config_snapshot_survives_unrepresentable_values(
+        self, tmp_path, loaders
+    ):
+        """A config entry whose CONTAINER holds a non-YAML-representable
+        value (Path inside a list) must be dropped from the snapshot, not
+        crash Trainer.__init__ in yaml.safe_dump (r4 batch 6)."""
+        from pathlib import Path
+
+        import yaml
+
+        train_loader, test_loader = loaders
+        cfg = _make_config(
+            tmp_path,
+            subjects=[Path("subject0000.h5")],  # list of Paths: not safe_dump-able
+            note="keep-me",
+        )
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        snap = yaml.safe_load(
+            open(os.path.join(trainer.output_dir, "config.yaml"))
+        )
+        assert snap["note"] == "keep-me"
+        assert "subjects" not in snap
+
+    def test_steps_per_epoch_matches_loader_length(self, tmp_path):
+        """steps_per_epoch must equal the ACTUAL optimizer steps per epoch
+        (len(loader)), not floor(n/bs): with a non-drop_last loader the
+        'epoch'-mode schedule position would drift ahead of the reference's
+        once-per-epoch CyclicLR.step() (r4 batch 6)."""
+        root = tmp_path / "d"
+        root.mkdir()
+        write_synthetic_dataset(str(root), ["s00.h5"], n_frames=2, image_size=32)
+        ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
+        # 36 samples, bs=10, no drop_last -> 4 batches (ceil), floor is 3
+        loader = BatchLoader(ds, batch_size=10)
+        assert len(loader) == 4
+        trainer = Trainer(
+            _make_config(tmp_path, batch_size=10),
+            FeatRotationSymm(backbone_depth=18, num_iter=1),
+            _metrics(), loader, loader,
+        )
+        assert trainer.steps_per_epoch == 4
+
+    def test_to_local_numpy_preview_smaller_than_process_count(self):
+        """Replicated preview arrays with fewer rows than processes must
+        not slice to empty (make_image_grid crashes on 0 rows) — r4
+        batch 6."""
+        import jax as _jax
+
+        class FakeReplicated:
+            is_fully_replicated = True
+
+            def __init__(self, a):
+                self._a = a
+                self.shape = a.shape
+
+            def __array__(self, dtype=None, copy=None):
+                return self._a
+
+        a = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+        orig_pc, orig_pi = _jax.process_count, _jax.process_index
+        _jax.process_count = lambda: 16
+        _jax.process_index = lambda: 7
+        try:
+            out = Trainer._to_local_numpy(FakeReplicated(a))
+        finally:
+            _jax.process_count, _jax.process_index = orig_pc, orig_pi
+        assert out.shape[0] == 8  # shared preview, never empty
+
+    def test_hdf5_handles_pruned_after_worker_threads_die(self, tmp_path):
+        """Per-epoch thread pools must not leak h5 handles: dead threads'
+        registrations are pruned when new threads open (r4 batch 6 — the
+        h5py fallback path used to leak num_threads x num_files fds per
+        epoch until the process hit its fd limit)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        root = tmp_path / "d"
+        root.mkdir()
+        write_synthetic_dataset(str(root), ["s00.h5"], n_frames=2, image_size=32)
+        ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
+
+        def read_some(_):
+            return ds[0]["idx_0"]
+
+        for _epoch in range(4):  # fresh pool per epoch, like the BatchLoader
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                list(ex.map(read_some, range(8)))
+        # trigger one more registration from a fresh thread: prune runs then
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            list(ex.map(read_some, range(1)))
+        live = [e for e in ds._open_handles if e[0].is_alive()]
+        # bounded by LIVE threads (main may hold one too), not 4 epochs x 4
+        assert len(ds._open_handles) <= len(live) + 1
+        assert len(ds._open_handles) < 5
+        ds.close()
