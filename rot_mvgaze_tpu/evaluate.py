@@ -183,11 +183,15 @@ def breakdown_from_errors(
     errors: np.ndarray,
     idx_0: "np.ndarray | None" = None,
     dataset: Any = None,
+    rows: "np.ndarray | None" = None,
 ) -> Dict[str, Any]:
     """Group per-sample angular errors: per camera (``idx_0 % 18``) and per
     subject (``dataset.idx_to_kv`` order). Used by both the standalone
     evaluator and ``Trainer.test`` (which reuses its already-computed
-    per-sample errors — no second eval pass)."""
+    per-sample errors — no second eval pass). ``rows`` — the dataset row
+    each error came from, in eval order — enables per-subject grouping even
+    when the eval covered a reordered or truncated subset (without it the
+    fallback assumes errors[i] is dataset row i and requires a full pass)."""
 
     def group_stats(labels):
         out = {}
@@ -212,7 +216,12 @@ def breakdown_from_errors(
             np.asarray(idx_0).reshape(-1) % NUM_CAMERAS
         )
     if dataset is not None and hasattr(dataset, "idx_to_kv"):
-        if len(dataset.idx_to_kv) == errors.shape[0]:
+        if rows is not None and rows.shape[0] == errors.shape[0]:
+            subjects = np.asarray(
+                [dataset.idx_to_kv[int(r)][0] for r in rows]
+            )
+            result["per_subject"] = group_stats(subjects)
+        elif len(dataset.idx_to_kv) == errors.shape[0]:
             subjects = np.asarray(
                 [kv[0] for kv in dataset.idx_to_kv[: errors.shape[0]]]
             )

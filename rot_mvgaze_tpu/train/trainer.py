@@ -600,6 +600,7 @@ class Trainer:
         self._last_eval_idx = (
             idx_all[:save_index] if (idx_all[:save_index] >= 0).all() else None
         )
+        self._last_eval_rows = self._loader_eval_rows(save_index)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -622,18 +623,56 @@ class Trainer:
         self.writer.flush()
         return avg_error
 
+    def _loader_eval_rows(self, save_index: int) -> "np.ndarray | None":
+        """Global dataset rows the eval pass just consumed, in iteration
+        order. Both loaders slice batches consecutively from the ONE
+        ``epoch_order`` definition, so the rows are recomputable host-side
+        from the loader's (shuffle, seed, epoch, process_shard) — this is
+        what lets ``test_breakdown`` group by SUBJECT under multi-host
+        sharding (subject = ``idx_to_kv[row][0]``), where the recorded
+        ``idx_0`` column alone cannot disambiguate files. Validated against
+        that column; None when the loader doesn't expose the contract or
+        the recomputed order disagrees (e.g. a custom loader)."""
+        loader = self.test_loader
+        ds = getattr(loader, "dataset", None)
+        needed = ("shuffle", "seed", "epoch", "process_shard")
+        if ds is None or not all(hasattr(loader, a) for a in needed):
+            return None
+        if not hasattr(ds, "idx_to_kv") or len(ds.idx_to_kv) == 0:
+            return None
+        from rot_mvgaze_tpu.data.pipeline import epoch_order
+
+        rows = epoch_order(
+            len(ds), loader.shuffle, loader.seed, loader.epoch,
+            loader.process_shard,
+        )
+        if save_index > len(rows):
+            return None
+        rows = rows[:save_index]
+        idx = self._last_eval_idx
+        if idx is None:
+            return None
+        expect = np.asarray(
+            [ds.idx_to_kv[int(r)][1] for r in rows], np.int64
+        )
+        if not np.array_equal(np.asarray(idx, np.int64), expect):
+            return None
+        return rows
+
     # ------------------------------------------------------------------
     def test_breakdown(self) -> Dict[str, Any]:
         """Per-camera / per-subject error breakdown (beyond the reference's
         single mean). Reuses the per-sample errors collected by the most
         recent ``test()`` call — no second eval pass or compile; runs
         ``test(-1)`` first if none happened yet. Under multi-host data
-        loading the per-camera groups are aggregated ACROSS hosts with the
-        same (sum, count) allgather the mean uses — camera id is derivable
-        host-side from ``idx_0 % 18`` — so every process reports the
-        identical global table. Per-subject grouping needs the global
-        dataset row order, which a host shard cannot reconstruct, and is
-        omitted there (labeled so in the report)."""
+        loading BOTH groupings are aggregated ACROSS hosts with the same
+        (sum, count) allgather the mean uses, so every process reports the
+        identical global table: camera id comes from ``idx_0 % 18``, and
+        subject comes from the deterministic epoch order replay
+        (``_loader_eval_rows`` → ``idx_to_kv[row][0]``; every host holds
+        the full pair index, only its iteration is sharded). Per-subject
+        falls back to omitted (labeled so in the report) when any host
+        cannot validate its row replay — e.g. a custom loader."""
         from rot_mvgaze_tpu.evaluate import (
             breakdown_from_errors,
             format_breakdown,
@@ -655,18 +694,31 @@ class Trainer:
             flags = np.asarray(
                 multihost_utils.process_allgather(
                     np.array(
-                        [1.0 if self._last_eval_idx is not None else 0.0]
+                        [
+                            1.0 if self._last_eval_idx is not None else 0.0,
+                            1.0
+                            if getattr(self, "_last_eval_rows", None)
+                            is not None
+                            else 0.0,
+                        ]
                     )
                 )
-            )
-            all_have_idx = bool(flags.min() > 0)
+            ).reshape(-1, 2)
+            all_have_idx = bool(flags[:, 0].min() > 0)
+            all_have_rows = bool(flags[:, 1].min() > 0)
         else:
             all_have_idx = False
+            all_have_rows = False
         if multi_host and all_have_idx:
-            detail = self._allgather_camera_breakdown()
+            detail = self._allgather_breakdown(with_subjects=all_have_rows)
+            note = (
+                ""
+                if all_have_rows
+                else "; per-subject omitted (a host could not replay its "
+                "eval row order)"
+            )
             report = (
-                f"[aggregated over {jax.process_count()} processes; "
-                f"per-subject omitted (needs the global dataset order)]\n"
+                f"[aggregated over {jax.process_count()} processes{note}]\n"
                 + format_breakdown(detail)
             )
         else:
@@ -677,6 +729,11 @@ class Trainer:
                     None
                     if multi_host
                     else getattr(self.test_loader, "dataset", None)
+                ),
+                rows=(
+                    None if multi_host else getattr(
+                        self, "_last_eval_rows", None
+                    )
                 ),
             )
             report = format_breakdown(detail)
@@ -691,26 +748,33 @@ class Trainer:
                 f.write(report)
         return detail
 
-    def _allgather_camera_breakdown(self) -> Dict[str, Any]:
-        """Global per-camera table from per-host (sum, count) vectors —
-        the fixed NUM_CAMERAS shape makes the allgather shape-stable no
-        matter which cameras a host's shard happened to contain."""
+    @staticmethod
+    def _allgather_group_stats(labels: np.ndarray, errs: np.ndarray,
+                               n_groups: int) -> np.ndarray:
+        """(sum, count) per group, summed over all processes. The fixed
+        ``n_groups`` shape makes the allgather shape-stable no matter which
+        groups a host's shard happened to contain."""
         from jax.experimental import multihost_utils
 
-        from rot_mvgaze_tpu.data.pairing import NUM_CAMERAS
-
-        cams = np.asarray(self._last_eval_idx).reshape(-1) % NUM_CAMERAS
-        errs = np.asarray(self._last_eval_errors, np.float64)
-        sums = np.zeros((NUM_CAMERAS,), np.float64)
-        counts = np.zeros((NUM_CAMERAS,), np.float64)
-        np.add.at(sums, cams, errs)
-        np.add.at(counts, cams, 1.0)
-        agg = np.asarray(
+        sums = np.zeros((n_groups,), np.float64)
+        counts = np.zeros((n_groups,), np.float64)
+        np.add.at(sums, labels, errs)
+        np.add.at(counts, labels, 1.0)
+        return np.asarray(
             multihost_utils.process_allgather(
                 np.stack([sums, counts], axis=-1)
             ),
             np.float64,
-        ).reshape(-1, NUM_CAMERAS, 2).sum(axis=0)
+        ).reshape(-1, n_groups, 2).sum(axis=0)
+
+    def _allgather_breakdown(self, with_subjects: bool) -> Dict[str, Any]:
+        """Global per-camera (and, when every host replayed its eval row
+        order, per-subject) tables from per-host (sum, count) vectors."""
+        from rot_mvgaze_tpu.data.pairing import NUM_CAMERAS
+
+        cams = np.asarray(self._last_eval_idx).reshape(-1) % NUM_CAMERAS
+        errs = np.asarray(self._last_eval_errors, np.float64)
+        agg = self._allgather_group_stats(cams, errs, NUM_CAMERAS)
         per_camera = {
             int(c): {
                 "error": float(agg[c, 0] / agg[c, 1]),
@@ -719,12 +783,36 @@ class Trainer:
             for c in range(NUM_CAMERAS)
             if agg[c, 1] > 0
         }
+        per_subject = None
+        if with_subjects:
+            # Every host constructs the IDENTICAL full dataset (only
+            # iteration is sharded), so the sorted subject vocabulary —
+            # and therefore the group indexing — agrees across processes.
+            ds = self.test_loader.dataset
+            vocab = sorted({kv[0] for kv in ds.idx_to_kv})
+            pos = {s: i for i, s in enumerate(vocab)}
+            subj = np.asarray(
+                [
+                    pos[ds.idx_to_kv[int(r)][0]]
+                    for r in self._last_eval_rows
+                ],
+                np.int64,
+            )
+            sagg = self._allgather_group_stats(subj, errs, len(vocab))
+            per_subject = {
+                vocab[i]: {
+                    "error": float(sagg[i, 0] / sagg[i, 1]),
+                    "n": int(sagg[i, 1]),
+                }
+                for i in range(len(vocab))
+                if sagg[i, 1] > 0
+            }
         total_n = agg[:, 1].sum()
         return {
             "mean_error": float(agg[:, 0].sum() / total_n),
             "n": int(total_n),
             "per_camera": per_camera,
-            "per_subject": None,
+            "per_subject": per_subject,
         }
 
     # ------------------------------------------------------------------

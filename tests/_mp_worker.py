@@ -55,8 +55,9 @@ def main() -> int:
 
     mesh = global_mesh()
     shard = (process_id, 2)
-    train_ds = GazeDataset("xgaze", data_dir, "bgr", ["s00.h5"], seed=0)
-    test_ds = GazeDataset("mpiinv", data_dir, "rgb", ["s00.h5"], seed=0)
+    keys = ["s00.h5", "s01.h5"]  # two subjects: per-subject table non-trivial
+    train_ds = GazeDataset("xgaze", data_dir, "bgr", keys, seed=0)
+    test_ds = GazeDataset("mpiinv", data_dir, "rgb", keys, seed=0)
     # global batch 8 -> local batch 4, sharded over the global order
     train_loader = BatchLoader(
         train_ds, batch_size=4, shuffle=True, seed=0, drop_last=True,
@@ -90,6 +91,15 @@ def main() -> int:
         for c, s in sorted(detail["per_camera"].items())
     )
     print(f"MPBREAKDOWN {process_id} n={detail['n']} {cams}", flush=True)
+    # Per-subject must ALSO be the identical global table on both hosts:
+    # each host replays its deterministic eval row order and the (sum,
+    # count) groups are allgathered over the shared subject vocabulary.
+    assert detail["per_subject"], detail
+    subj = ",".join(
+        f"{k}:{s['error']:.8f}:{s['n']}"
+        for k, s in sorted(detail["per_subject"].items())
+    )
+    print(f"MPSUBJECTS {process_id} n={detail['n']} {subj}", flush=True)
     print(f"MPFINAL {process_id} {err:.10f}", flush=True)
     return 0
 

@@ -472,11 +472,13 @@ class TestTestBreakdown:
         assert sum(s["n"] for s in detail["per_camera"].values()) == detail["n"]
         # known split: every camera id must be in the 'all' tag range
         assert all(0 <= c < 18 for c in detail["per_camera"])
-        if detail["per_subject"] is not None:
-            assert (
-                sum(s["n"] for s in detail["per_subject"].values())
-                == detail["n"]
-            )
+        # standard loader + full pass: the eval-row replay must validate,
+        # so per-subject is guaranteed (not merely optional) here
+        assert detail["per_subject"], detail
+        assert (
+            sum(s["n"] for s in detail["per_subject"].values())
+            == detail["n"]
+        )
         report = os.path.join(trainer.output_dir, "test_results.txt")
         with open(report) as f:
             text = f.read()

@@ -29,7 +29,9 @@ def test_two_process_dp_trains_and_agrees(tmp_path):
 
     data_dir = tmp_path / "data"
     data_dir.mkdir()
-    write_synthetic_dataset(str(data_dir), ["s00.h5"], n_frames=2, image_size=32)
+    write_synthetic_dataset(
+        str(data_dir), ["s00.h5", "s01.h5"], n_frames=2, image_size=32
+    )
     out_dir = tmp_path / "out"
     out_dir.mkdir()
 
@@ -103,3 +105,18 @@ def test_two_process_dp_trains_and_agrees(tmp_path):
         int(entry.split(":")[2]) for entry in tables[0][1].split(",")
     )
     assert per_cam_n == n_total
+
+    # per-subject: identical global table on both hosts, covering every
+    # sample, over BOTH subject files (eval-row-order replay + allgather)
+    subj_tables = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MPSUBJECTS"):
+                _, pid, n, subj = line.split()
+                subj_tables[int(pid)] = (n, subj)
+    assert set(subj_tables) == {0, 1}, outs
+    assert subj_tables[0] == subj_tables[1], subj_tables
+    entries = subj_tables[0][1].split(",")
+    assert len(entries) == 2, subj_tables  # both subjects present
+    per_subj_n = sum(int(e.split(":")[2]) for e in entries)
+    assert per_subj_n == n_total
