@@ -26,7 +26,15 @@ covering every config class BASELINE.json names:
 4. the ``encode_rotmat=True`` ablation (ImageRotmatFeatFuser,
    /root/reference/models/rot_mv.py:53-67);
 5. the reverse transfer direction (mpiinv2xgaze: eval on XGaze), driving
-   the BGR->RGB read path end-to-end.
+   the BGR->RGB read path end-to-end;
+6. the ``ignore_rotmat=True`` ablation ("no rotation constraint",
+   /root/reference/models/rot_mv.py:141-142,226-232);
+7. the ``share_weights=True`` ablation (one fuser/head instance aliased
+   across iterations, /root/reference/models/rot_mv.py:151-158) — the
+   conversion must map every ``iter_i`` key onto the SAME parameters.
+
+Together 3+4+6+7 rehearse every ablation flag of the reference model
+end-to-end (train -> convert -> eval), not just at output-parity level.
 
 Skips cleanly without torch or the reference tree.
 """
@@ -303,3 +311,48 @@ def test_eval_protocol_parity_reverse_direction(
 ):
     # mpiinv2xgaze: eval on XGaze drives the BGR->RGB read path end-to-end
     _assert_our_eval_matches(rehearsal_reverse_direction, tmp_path)
+
+
+@pytest.fixture(scope="module")
+def rehearsal_ignore_rotmat(tmp_path_factory):
+    cfg = dict(DEFAULT_MODEL_CFG, ignore_rotmat=True)
+    return _run_reference_rehearsal(tmp_path_factory, cfg, "all", "all")
+
+
+@pytest.fixture(scope="module")
+def rehearsal_share_weights(tmp_path_factory):
+    cfg = dict(DEFAULT_MODEL_CFG, share_weights=True)
+    return _run_reference_rehearsal(tmp_path_factory, cfg, "all", "all")
+
+
+def test_eval_protocol_parity_ignore_rotmat_ablation(
+    rehearsal_ignore_rotmat, tmp_path
+):
+    # ignore_rotmat: the fuser consumes the UNROTATED other-view feature —
+    # the "no rotation constraint" ablation
+    # (/root/reference/models/rot_mv.py:141-142,226-232)
+    _assert_our_eval_matches(rehearsal_ignore_rotmat, tmp_path)
+
+
+def test_eval_protocol_parity_share_weights_ablation(
+    rehearsal_share_weights, tmp_path
+):
+    # share_weights: the reference aliases ONE fuser/head instance
+    # num_iter times ([module] * num_iter,
+    # /root/reference/models/rot_mv.py:151-158). torch's state_dict
+    # recursion does NOT dedup aliases, so keys exist under EVERY iter
+    # index but reference the same storage — verify that aliasing (the
+    # trained iters must have stayed in lockstep), since conversion maps
+    # each unrolled iteration from its own (identical) key set
+    import torch
+
+    state = torch.load(rehearsal_share_weights["ckpt"], map_location="cpu")
+    fuser_idx = {
+        k.split(".")[1] for k in state if k.startswith("_img_fusers.")
+    }
+    assert fuser_idx == {"0", "1"}, sorted(fuser_idx)
+    for k in state:
+        if k.startswith("_img_fusers.0"):
+            twin = k.replace("_img_fusers.0", "_img_fusers.1", 1)
+            assert state[k].data_ptr() == state[twin].data_ptr(), k
+    _assert_our_eval_matches(rehearsal_share_weights, tmp_path)
