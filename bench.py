@@ -221,5 +221,47 @@ def main() -> None:
     print(json.dumps(record))
 
 
+def is_transient_backend_error(exc: BaseException) -> bool:
+    """Tunneled-TPU hiccups that a fresh process recovers from (observed
+    in-session: FAILED_PRECONDITION from the axon tunnel on an array fetch
+    during lowering, while the chip itself was healthy — the immediate
+    retry succeeded). Distinct from real failures (OOM, compile errors,
+    assertion failures), which must stay fatal."""
+    text = f"{type(exc).__name__}: {exc}"
+    return any(
+        marker in text
+        for marker in (
+            "FAILED_PRECONDITION",
+            "UNAVAILABLE",
+            "DEADLINE_EXCEEDED",
+            "TPU backend error",
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # bounded re-exec on transient tunnel errors:
+        # jax backend state in THIS process may be poisoned, so a clean
+        # process (execv) is the only reliable retry. The failed attempt
+        # printed nothing to stdout (the JSON line is the last statement),
+        # so the driver still sees exactly one record.
+        import os as _os
+        import sys as _sys
+        import time as _time
+        import traceback as _tb
+
+        attempt = int(_os.environ.get("BENCH_RETRY", "0"))
+        if attempt < 2 and is_transient_backend_error(e):
+            _tb.print_exc()
+            print(
+                f"bench: transient backend error; re-exec attempt "
+                f"{attempt + 1}/2",
+                file=_sys.stderr,
+                flush=True,
+            )
+            _time.sleep(10)
+            _os.environ["BENCH_RETRY"] = str(attempt + 1)
+            _os.execv(_sys.executable, [_sys.executable] + _sys.argv)
+        raise

@@ -332,6 +332,30 @@ class TestBenchSmoke:
         )
 
 
+class TestBenchTransientRetry:
+    def test_transient_classifier(self):
+        """Only tunnel-transient backend errors qualify for the bounded
+        re-exec; real failures (OOM, compile/shape errors) stay fatal."""
+        import bench
+
+        transient = [
+            RuntimeError(
+                "FAILED_PRECONDITION: TPU backend error (FailedPrecondition)."
+            ),
+            RuntimeError("UNAVAILABLE: socket closed"),
+            RuntimeError("DEADLINE_EXCEEDED: rpc timed out"),
+        ]
+        fatal = [
+            ValueError("shapes (3,) and (2,) are incompatible"),
+            RuntimeError("RESOURCE_EXHAUSTED: out of memory while allocating"),
+            AssertionError("loss did not decrease"),
+        ]
+        for e in transient:
+            assert bench.is_transient_backend_error(e), e
+        for e in fatal:
+            assert not bench.is_transient_backend_error(e), e
+
+
 class TestOrbaxUnderMesh:
     def test_orbax_roundtrip_restores_onto_mesh(self, tmp_path):
         """Orbax save of a mesh-replicated TrainState restores directly onto
