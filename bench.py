@@ -223,20 +223,24 @@ def main() -> None:
 
 def is_transient_backend_error(exc: BaseException) -> bool:
     """Tunneled-TPU hiccups that a fresh process recovers from (observed
-    in-session: FAILED_PRECONDITION from the axon tunnel on an array fetch
-    during lowering, while the chip itself was healthy — the immediate
-    retry succeeded). Distinct from real failures (OOM, compile errors,
-    assertion failures), which must stay fatal."""
-    text = f"{type(exc).__name__}: {exc}"
-    return any(
-        marker in text
-        for marker in (
-            "FAILED_PRECONDITION",
-            "UNAVAILABLE",
-            "DEADLINE_EXCEEDED",
-            "TPU backend error",
-        )
-    )
+    in-session: 'FAILED_PRECONDITION: TPU backend error' from the axon
+    tunnel on an array fetch during lowering, while the chip itself was
+    healthy — the immediate retry succeeded). Only transient STATUS CODES
+    qualify — the tunnel wraps every backend failure in the same 'TPU
+    backend error' phrase, so matching on it would retry deterministic
+    failures (RESOURCE_EXHAUSTED OOMs, compile errors) twice for nothing.
+    Walks the __cause__/__context__ chain: jax and helper layers re-raise
+    wrapped."""
+    markers = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED")
+    seen = set()
+    e: "BaseException | None" = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        text = f"{type(e).__name__}: {e}"
+        if any(marker in text for marker in markers):
+            return True
+        e = e.__cause__ if e.__cause__ is not None else e.__context__
+    return False
 
 
 if __name__ == "__main__":

@@ -335,6 +335,10 @@ class NativeBatchLoader:
     def __iter__(self):
         pool = self.dataset.pool
         order = self._epoch_order()
+        # same contract as BatchLoader: the order THIS iteration yields
+        # (epoch advances in the finally, so post-hoc recomputation from
+        # attributes would replay the NEXT epoch's permutation)
+        self.last_epoch_order = order
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         starts = list(range(0, stop, self.batch_size))

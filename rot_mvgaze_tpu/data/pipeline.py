@@ -114,6 +114,12 @@ class BatchLoader:
             len(self.dataset), self.shuffle, self.seed, self.epoch,
             self.process_shard,
         )
+        # the order THIS iteration actually yields, for consumers that need
+        # to map yielded positions back to dataset rows (e.g. the trainer's
+        # per-subject eval breakdown) — recomputing it from the loader
+        # attributes is fragile because `epoch` has already advanced by the
+        # time the iterator is exhausted (incremented in the finally below)
+        self.last_epoch_order = order
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):

@@ -625,30 +625,23 @@ class Trainer:
 
     def _loader_eval_rows(self, save_index: int) -> "np.ndarray | None":
         """Global dataset rows the eval pass just consumed, in iteration
-        order. Both loaders slice batches consecutively from the ONE
-        ``epoch_order`` definition, so the rows are recomputable host-side
-        from the loader's (shuffle, seed, epoch, process_shard) — this is
-        what lets ``test_breakdown`` group by SUBJECT under multi-host
-        sharding (subject = ``idx_to_kv[row][0]``), where the recorded
-        ``idx_0`` column alone cannot disambiguate files. Validated against
-        that column; None when the loader doesn't expose the contract or
-        the recomputed order disagrees (e.g. a custom loader)."""
+        order. Both loaders record the order their iteration actually
+        yielded (``last_epoch_order`` — batches are consecutive slices of
+        it) — this is what lets ``test_breakdown`` group by SUBJECT under
+        multi-host sharding (subject = ``idx_to_kv[row][0]``), where the
+        recorded ``idx_0`` column alone cannot disambiguate files.
+        Validated against that column; None when the loader doesn't expose
+        the contract or the order disagrees (e.g. a custom loader)."""
         loader = self.test_loader
         ds = getattr(loader, "dataset", None)
-        needed = ("shuffle", "seed", "epoch", "process_shard")
-        if ds is None or not all(hasattr(loader, a) for a in needed):
+        rows = getattr(loader, "last_epoch_order", None)
+        if ds is None or rows is None:
             return None
         if not hasattr(ds, "idx_to_kv") or len(ds.idx_to_kv) == 0:
             return None
-        from rot_mvgaze_tpu.data.pipeline import epoch_order
-
-        rows = epoch_order(
-            len(ds), loader.shuffle, loader.seed, loader.epoch,
-            loader.process_shard,
-        )
         if save_index > len(rows):
             return None
-        rows = rows[:save_index]
+        rows = np.asarray(rows)[:save_index]
         idx = self._last_eval_idx
         if idx is None:
             return None

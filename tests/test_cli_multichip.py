@@ -338,16 +338,29 @@ class TestBenchTransientRetry:
         re-exec; real failures (OOM, compile/shape errors) stay fatal."""
         import bench
 
+        # a transient status wrapped by an intermediate re-raise must still
+        # be recognized (the classifier walks __cause__/__context__)
+        wrapped = RuntimeError("lowering failed")
+        wrapped.__cause__ = RuntimeError(
+            "FAILED_PRECONDITION: TPU backend error (FailedPrecondition)."
+        )
         transient = [
             RuntimeError(
                 "FAILED_PRECONDITION: TPU backend error (FailedPrecondition)."
             ),
             RuntimeError("UNAVAILABLE: socket closed"),
             RuntimeError("DEADLINE_EXCEEDED: rpc timed out"),
+            wrapped,
         ]
         fatal = [
             ValueError("shapes (3,) and (2,) are incompatible"),
             RuntimeError("RESOURCE_EXHAUSTED: out of memory while allocating"),
+            # the tunnel wraps EVERY backend failure in the same phrase —
+            # a deterministic OOM carrying it must still be fatal
+            RuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error: out of memory "
+                "while allocating 2.1G"
+            ),
             AssertionError("loss did not decrease"),
         ]
         for e in transient:

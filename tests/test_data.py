@@ -136,6 +136,27 @@ class TestBatchLoader:
             not np.array_equal(a, b) for a, b in zip(b1, b1b)
         )
 
+    def test_last_epoch_order_records_the_consumed_epoch(self, ds):
+        """``last_epoch_order`` is the order the iteration actually
+        YIELDED — not a recomputation from the loader's attributes, which
+        would be off by one because ``epoch`` advances in the iterator's
+        finally block. The trainer's per-subject eval breakdown replays
+        rows from it (a wrong permutation there maps errors to the wrong
+        subjects silently, since idx_0 alone can't disambiguate files)."""
+        from rot_mvgaze_tpu.data.pipeline import epoch_order
+
+        loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+        got = np.concatenate([b["idx_0"] for b in loader])
+        order = loader.last_epoch_order
+        # the yielded idx_0 stream matches the recorded order exactly
+        np.testing.assert_array_equal(
+            got, [ds.idx_to_kv[int(r)][1] for r in order]
+        )
+        # and the post-iteration attributes would replay the NEXT epoch
+        assert loader.epoch == 1
+        next_epoch = epoch_order(len(ds), True, 3, loader.epoch, None)
+        assert not np.array_equal(order, next_epoch)
+
     def test_device_prefetch(self, ds):
         import jax
 

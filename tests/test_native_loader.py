@@ -158,9 +158,20 @@ class TestNativeBatchLoader:
     def test_shuffle_and_epochs(self, dataset):
         loader = NativeBatchLoader(dataset, batch_size=8, shuffle=True, seed=1)
         e0 = np.concatenate([b["idx_0"] for b in loader])
+        order0 = loader.last_epoch_order
         e1 = np.concatenate([b["idx_0"] for b in loader])
         assert sorted(e0.tolist()) == sorted(e1.tolist())
         assert not np.array_equal(e0, e1)
+        # last_epoch_order records the order each iteration actually
+        # yielded (same contract as BatchLoader — the trainer's per-subject
+        # breakdown replays rows from it)
+        np.testing.assert_array_equal(
+            e0, [dataset.idx_to_kv[int(r)][1] for r in order0]
+        )
+        np.testing.assert_array_equal(
+            e1, [dataset.idx_to_kv[int(r)][1] for r in loader.last_epoch_order]
+        )
+        assert not np.array_equal(order0, loader.last_epoch_order)
 
     def test_drop_last(self, dataset):
         loader = NativeBatchLoader(dataset, batch_size=7, drop_last=True)

@@ -487,3 +487,53 @@ class TestRound4Batch6Fixes:
         assert len(ds._open_handles) <= len(live) + 1
         assert len(ds._open_handles) < 5
         ds.close()
+
+
+class TestShuffledEvalBreakdown:
+    def test_per_subject_correct_with_shuffled_test_loader(self, tmp_path):
+        """Review-batch-7 regression: the eval-row replay must reflect the
+        epoch the eval CONSUMED, not the loader's post-iteration epoch
+        counter (which the iterator's finally block already advanced). A
+        shuffle=True test loader makes the two differ; the per-subject
+        table must still appear AND group each error under the right file
+        — with two files sharing an identical per-file row layout, idx_0
+        alone validates against any permutation, so a wrong-epoch replay
+        would mis-assign errors silently."""
+        root = tmp_path / "data"
+        root.mkdir()
+        write_synthetic_dataset(
+            str(root), ["s00.h5", "s01.h5"], n_frames=2, image_size=32
+        )
+        test_ds = GazeDataset(
+            "mpiinv", str(root), "rgb", ["s00.h5", "s01.h5"], seed=0
+        )
+        trainer = Trainer(
+            _make_config(tmp_path),
+            FeatRotationSymm(backbone_depth=18, num_iter=1),
+            _metrics(),
+            None,
+            BatchLoader(test_ds, batch_size=6, shuffle=True, seed=7),
+        )
+        trainer.test(-1)
+        detail = trainer.test_breakdown()
+        assert detail["per_subject"] is not None, (
+            "row replay failed under a shuffled test loader"
+        )
+        assert set(detail["per_subject"]) == {0, 1}
+        assert (
+            sum(s["n"] for s in detail["per_subject"].values())
+            == detail["n"]
+        )
+        # independent per-file grouping from the loader's own record of the
+        # consumed order: means must match exactly
+        rows = trainer.test_loader.last_epoch_order
+        errs = trainer._last_eval_errors
+        for f in (0, 1):
+            mask = np.asarray(
+                [test_ds.idx_to_kv[int(r)][0] == f for r in rows[: len(errs)]]
+            )
+            assert detail["per_subject"][f]["error"] == pytest.approx(
+                float(np.mean(errs[mask])), abs=1e-12
+            )
+            assert detail["per_subject"][f]["n"] == int(mask.sum())
+        test_ds.close()
