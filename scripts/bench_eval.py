@@ -56,6 +56,20 @@ def main() -> None:
     int8 = allowed[raw]
     size = 224
 
+    # Unbuffered stage progress (same rationale as __graft_entry__'s dryrun:
+    # a hang/timeout must leave a diagnostic tail, not an empty log —
+    # first-compiles over the tunnel can take minutes and look stuck).
+    import functools
+
+    t_start = time.monotonic()
+
+    def say(msg):
+        print(f"[{time.monotonic() - t_start:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    say(f"bench_eval: batch={batch} serve_batch={serve_batch} int8={int8} "
+        f"backend={jax.default_backend()}")
+
     model = FeatRotationSymm(
         backbone_depth=50, num_iter=3, dtype=jnp.bfloat16, int8_backbone=int8
     )
@@ -66,6 +80,7 @@ def main() -> None:
         "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
     }
     variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
+    say("params initialized")
 
     rng = np.random.default_rng(0)
 
@@ -120,9 +135,11 @@ def main() -> None:
         variables = {**variables, "quant": quant}
 
     out = jnp.zeros((batch, 2), jnp.float32)
+    say("compiling+warming eval forward (first compile can take minutes) ...")
     for _ in range(3):
         out = fwd_chained(variables, big, out)
     fence(out)
+    say("warmup done; timing throughput ...")
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -130,6 +147,7 @@ def main() -> None:
     fence(out)
     dt = time.perf_counter() - t0
     eval_ips = 2 * batch * n_steps / dt
+    say(f"throughput: {eval_ips:.1f} imgs/s; timing serving latency ...")
 
     # latency (small batch, per-call fence = request/response)
     small = make_batch(serve_batch)
