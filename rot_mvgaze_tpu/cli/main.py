@@ -166,6 +166,16 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "backend (the local client's XLA_FLAGS parser "
                         "rejects names only the remote compiler defines). "
                         "See docs/PERF.md for the measured r3 sweep")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture one jax.profiler device trace of N "
+                        "steady-state train steps (step 0's compile is "
+                        "skipped; both edges are block_until_ready-fenced) "
+                        "into --profile_dir")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="profiler trace output dir (default "
+                        "<output_dir>/<timestamp>/profile; per-host subdirs "
+                        "under multi-host). View in TensorBoard's profile "
+                        "plugin or Perfetto")
     return p
 
 

@@ -252,6 +252,26 @@ class Trainer:
         self.epochs = int(getattr(config, "epochs", 15))
         self.save_epoch = int(getattr(config, "save_epoch", 10))
         self.print_freq = int(getattr(config, "print_freq", 50))
+        # ---- profiler capture (--profile_steps; SURVEY §5 tracing) ----
+        # One jax.profiler device trace of N STEADY-STATE train steps:
+        # started at the second step of the first epoch (step 0 pays the
+        # compile — tracing it would bury the device timeline under one
+        # giant XlaCompile block), block_until_ready-fenced on both edges so
+        # the window holds exactly the profiled steps' device work.
+        self.profile_steps = int(getattr(config, "profile_steps", 0) or 0)
+        profile_dir = getattr(config, "profile_dir", None)
+        if self.profile_steps and profile_dir is None:
+            profile_dir = osp.join(self.output_dir, "profile")
+        if profile_dir is not None and jax.process_count() > 1:
+            # per-host trace dirs: hosts profile their local devices; a
+            # shared dir would interleave event files on a common fs
+            profile_dir = osp.join(
+                profile_dir, f"host_{jax.process_index():02d}"
+            )
+        self._profile_dir = profile_dir
+        self._profiled = False
+        self._profile_active = False
+        self._profile_left = 0
         # Resume-aware: TB train scalars are logged at train_iter, so a
         # full-state resume must continue the x-axis at the restored step —
         # restarting at 0 re-emits steps 0..N into the same tensorboard dir
@@ -428,8 +448,22 @@ class Trainer:
         for i, batch in enumerate(
             device_prefetch(iter(self.train_loader), size=2, sharding=sharding)
         ):
+            if (
+                self.profile_steps > 0
+                and not self._profiled
+                and not self._profile_active
+                and i == 1  # step 0 compiled; trace steady-state only
+            ):
+                jax.block_until_ready(self.state.params)
+                jax.profiler.start_trace(self._profile_dir)
+                self._profile_active = True
+                self._profile_left = self.profile_steps
             # key folding happens on device from state.step (see __init__)
             self.state, stats = self._train_step(self.state, batch, self._base_key)
+            if self._profile_active:
+                self._profile_left -= 1
+                if self._profile_left == 0:
+                    self._stop_profile()
             n_samples += int(batch["img_0"].shape[0])
             if self.train_iter != 0 and self.train_iter % self.print_freq == 0:
                 loss = float(stats["loss_gaze"])  # device sync
@@ -457,7 +491,23 @@ class Trainer:
             self.train_iter += 1
             if self._preempt_agreed():
                 break
+        if self._profile_active:
+            # epoch (or preemption) ended before the requested step count —
+            # close the trace rather than leaving the profiler running
+            # through eval and the next compile
+            self._stop_profile()
         self.writer.flush()
+
+    def _stop_profile(self) -> None:
+        jax.block_until_ready(self.state.params)
+        jax.profiler.stop_trace()
+        self._profile_active = False
+        self._profiled = True
+        captured = self.profile_steps - self._profile_left
+        print(
+            f"profiler trace of {captured} train step(s) saved to "
+            f"{self._profile_dir} (TensorBoard profile plugin / Perfetto)"
+        )
 
     def _preempt_agreed(self) -> bool:
         """Preemption exit decision every host makes IDENTICALLY.

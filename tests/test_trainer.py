@@ -537,3 +537,55 @@ class TestShuffledEvalBreakdown:
             )
             assert detail["per_subject"][f]["n"] == int(mask.sum())
         test_ds.close()
+
+
+class TestProfilerCapture:
+    def test_profile_steps_captures_one_trace(self, tmp_path, loaders):
+        """--profile_steps N: exactly one steady-state device trace is
+        captured into <output_dir>/profile (step 0's compile excluded), and
+        later epochs do not re-trace."""
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, profile_steps=2, epochs=2)
+        trainer = Trainer(
+            cfg,
+            FeatRotationSymm(backbone_depth=18, num_iter=1),
+            _metrics(),
+            train_loader,
+            test_loader,
+        )
+        trainer.train_one_epoch(0)
+        assert trainer._profiled and not trainer._profile_active
+        profile_dir = os.path.join(cfg.output_dir, "profile")
+        files = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(profile_dir)
+            for f in fs
+        ]
+        assert files, f"no trace files written under {profile_dir}"
+        # one trace per run: epoch 2 must not open a second capture
+        trainer.train_one_epoch(1)
+        assert trainer._profiled and not trainer._profile_active
+        files_after = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(profile_dir)
+            for f in fs
+        ]
+        assert sorted(files_after) == sorted(files)
+
+    def test_short_epoch_closes_trace(self, tmp_path, loaders):
+        """An epoch ending before profile_steps steps must stop the trace
+        (leaving the profiler running through eval would crash the next
+        start_trace and bloat the capture)."""
+        train_loader, test_loader = loaders
+        # 36 samples / batch 6 = 6 steps; request far more
+        cfg = _make_config(tmp_path, profile_steps=99)
+        trainer = Trainer(
+            cfg,
+            FeatRotationSymm(backbone_depth=18, num_iter=1),
+            _metrics(),
+            train_loader,
+            test_loader,
+        )
+        trainer.train_one_epoch(0)
+        assert trainer._profiled and not trainer._profile_active
+        trainer.test(-1)  # profiler must be fully closed here
