@@ -277,6 +277,27 @@ class Trainer:
         # restarting at 0 re-emits steps 0..N into the same tensorboard dir
         # and zig-zags every training curve of the preemption-resume flow.
         self.train_iter = int(self.state.step)
+        # Epoch-resume: the restored step says how many epochs the
+        # checkpointed run already finished — a preemption restart must run
+        # only the REMAINING epochs, not self.epochs more (the reference
+        # cannot resume at all; its --ckpt_resume restarts the epoch count,
+        # /root/reference/main.py:251-257). Floor division re-runs an epoch
+        # interrupted mid-way (step granularity is exact; data granularity
+        # is per-epoch — the partial epoch's batches are repeated). Torch
+        # checkpoints carry no step, so weight-only fine-tune inits keep
+        # the full epoch budget. Pure function of replicated state →
+        # identical on every host.
+        self._start_epoch = 0
+        if self.train_iter > 0 and self.steps_per_epoch > 0:
+            self._start_epoch = min(
+                self.train_iter // self.steps_per_epoch, self.epochs
+            )
+        if self._start_epoch > 0 and self.train_loader is not None:
+            # Continue the original run's per-epoch shuffle sequence: both
+            # loaders draw order from rng((seed, epoch)) with a process-
+            # local counter that restarts at 0 — without this sync a
+            # resumed epoch 7 would replay epoch 0's permutation.
+            self.train_loader.epoch = self._start_epoch
 
         print(parameter_table(self.state.params))
         print(f"total params: {count_parameters(self.state.params):,}")
@@ -415,8 +436,19 @@ class Trainer:
                 pass
 
         try:
+            start = self._start_epoch
+            if start >= self.epochs and self.epochs > 0:
+                print(
+                    f"resume: checkpoint already covers {self.epochs} "
+                    f"epoch(s) (step {self.train_iter}) — evaluating only"
+                )
+            elif start > 0:
+                print(
+                    f"resume: {start} epoch(s) done (step {self.train_iter})"
+                    f" — training epochs {start + 1}..{self.epochs}"
+                )
             error = self.test(-1)
-            for epoch in range(self.epochs):
+            for epoch in range(start, self.epochs):
                 self.train_one_epoch(epoch)
                 # agreement, not the local flag: a signal landing after the
                 # epoch's last in-loop sync must not let one host save+exit

@@ -539,6 +539,93 @@ class TestShuffledEvalBreakdown:
         test_ds.close()
 
 
+class TestEpochResume:
+    """A preemption restart must run the REMAINING epochs (the restored
+    step says how many are done), not `--epochs` more, and must continue
+    the original run's per-epoch shuffle sequence."""
+
+    def _fresh_loaders(self, tmp_path):
+        # fresh loader objects = a fresh process: epoch counters at 0
+        root = tmp_path / "data"
+        train_ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
+        test_ds = GazeDataset("mpiinv", str(root), "rgb", ["s00.h5"], seed=0)
+        return (
+            BatchLoader(train_ds, batch_size=6, shuffle=True, drop_last=True),
+            BatchLoader(test_ds, batch_size=6),
+        )
+
+    def test_resume_runs_remaining_epochs(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        spe = len(train_loader)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        cfg = _make_config(tmp_path, epochs=3, save_epoch=99)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        assert trainer._start_epoch == 0
+        trainer.train_one_epoch(0)
+        assert int(trainer.state.step) == spe
+        path = trainer.save_checkpoint(add="after_epoch_1")
+
+        tl2, el2 = self._fresh_loaders(tmp_path)
+        assert tl2.epoch == 0
+        cfg2 = _make_config(
+            tmp_path, epochs=3, save_epoch=99, ckpt_resume=path
+        )
+        trainer2 = Trainer(cfg2, model, _metrics(), tl2, el2)
+        assert trainer2._start_epoch == 1
+        # shuffle continuation: the fresh loader is synced to the epoch the
+        # original run would be on — without this it replays epoch 0's
+        # rng((seed, 0)) permutation after every restart
+        assert tl2.epoch == 1
+        err = trainer2.train()
+        # epochs 2..3 only: two more epochs of steps, not three
+        assert int(trainer2.state.step) == 3 * spe
+        assert np.isfinite(err)
+
+    def test_midepoch_resume_reruns_interrupted_epoch(self, tmp_path, loaders):
+        import jax
+
+        train_loader, test_loader = loaders
+        spe = len(train_loader)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        cfg = _make_config(tmp_path, epochs=2, save_epoch=99)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        batch = jax.tree.map(jnp.asarray, next(iter(train_loader)))
+        for i in range(spe // 2):  # interrupted mid-epoch
+            trainer.state, _ = trainer._train_step(
+                trainer.state, batch, jax.random.PRNGKey(i)
+            )
+        path = trainer.save_checkpoint(add="midepoch")
+
+        tl2, el2 = self._fresh_loaders(tmp_path)
+        cfg2 = _make_config(
+            tmp_path, epochs=2, save_epoch=99, ckpt_resume=path
+        )
+        trainer2 = Trainer(cfg2, model, _metrics(), tl2, el2)
+        # floor: the interrupted epoch is re-run from its start
+        assert trainer2._start_epoch == 0
+        assert tl2.epoch == 0
+
+    def test_completed_checkpoint_evaluates_only(self, tmp_path, loaders):
+        train_loader, test_loader = loaders
+        spe = len(train_loader)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        cfg = _make_config(tmp_path, epochs=2, save_epoch=99)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        trainer.state = trainer.state.replace(step=2 * spe)
+        path = trainer.save_checkpoint(add="complete")
+
+        tl2, el2 = self._fresh_loaders(tmp_path)
+        cfg2 = _make_config(
+            tmp_path, epochs=2, save_epoch=99, ckpt_resume=path
+        )
+        trainer2 = Trainer(cfg2, model, _metrics(), tl2, el2)
+        assert trainer2._start_epoch == 2
+        err = trainer2.train()
+        assert np.isfinite(err)
+        # no further training happened
+        assert int(trainer2.state.step) == 2 * spe
+
+
 class TestProfilerCapture:
     def test_profile_steps_captures_one_trace(self, tmp_path, loaders):
         """--profile_steps N: exactly one steady-state device trace is
