@@ -453,6 +453,12 @@ def main(argv=None) -> int:
         parser.error(
             "--mode test requires --ckpt_resume CKPT (or --auto_resume_dir DIR)"
         )
+    if getattr(config, "profile_dir", None) and not getattr(
+        config, "profile_steps", 0
+    ):
+        # otherwise the run finishes with an empty trace dir and no hint
+        parser.error("--profile_dir requires --profile_steps N (how many "
+                     "steady-state train steps to trace)")
 
     trainer = build_experiment(config)
     if config.mode == "train":

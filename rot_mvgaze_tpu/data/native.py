@@ -303,6 +303,8 @@ class NativeBatchLoader:
         # global order (multi-host DP) — same contract as BatchLoader.
         self.process_shard = process_shard
         self.epoch = 0
+        # one-shot mid-epoch fast-forward — same contract as BatchLoader
+        self.skip_batches = 0
         # flat (file, row, row_b) arrays for vectorized batch index math
         if len(dataset.idx_to_kv) == 0:
             # np.asarray([]) is 1-D; kv[:, 0] would raise a bare IndexError
@@ -335,13 +337,16 @@ class NativeBatchLoader:
     def __iter__(self):
         pool = self.dataset.pool
         order = self._epoch_order()
+        skip = int(self.skip_batches)
+        self.skip_batches = 0  # one-shot: a resumed epoch applies it once
+        first = skip * self.batch_size
         # same contract as BatchLoader: the order THIS iteration yields
         # (epoch advances in the finally, so post-hoc recomputation from
         # attributes would replay the NEXT epoch's permutation)
-        self.last_epoch_order = order
+        self.last_epoch_order = order[first:]
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        starts = list(range(0, stop, self.batch_size))
+        starts = list(range(first, stop, self.batch_size))
         _, h, w, c = pool.shapes[0]
 
         # two in-flight buffers (double buffering via async gather)

@@ -98,6 +98,11 @@ class BatchLoader:
         self.prefetch = prefetch
         self.process_shard = process_shard
         self.epoch = 0
+        # One-shot fast-forward for step-exact mid-epoch resume: the next
+        # __iter__ starts at batch ``skip_batches`` of this epoch's
+        # permutation (the preceding batches were already consumed by the
+        # checkpointed run), then the attribute resets to 0.
+        self.skip_batches = 0
 
     def num_samples(self) -> int:
         """Samples this loader will actually yield per epoch (pre-batching)."""
@@ -114,15 +119,18 @@ class BatchLoader:
             len(self.dataset), self.shuffle, self.seed, self.epoch,
             self.process_shard,
         )
+        skip = int(self.skip_batches)
+        self.skip_batches = 0  # one-shot: a resumed epoch applies it once
+        first = skip * self.batch_size
         # the order THIS iteration actually yields, for consumers that need
         # to map yielded positions back to dataset rows (e.g. the trainer's
         # per-subject eval breakdown) — recomputing it from the loader
         # attributes is fragile because `epoch` has already advanced by the
         # time the iterator is exhausted (incremented in the finally below)
-        self.last_epoch_order = order
+        self.last_epoch_order = order[first:]
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for start in range(0, stop, self.batch_size):
+        for start in range(first, stop, self.batch_size):
             yield order[start : start + self.batch_size]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -6,7 +6,11 @@ restoring here resumes the optimizer exactly.
 
 Format: single-file msgpack via ``flax.serialization`` — self-describing
 (restorable without a template via ``msgpack_restore``), host-independent,
-and trivially rsync-able. ``save_state_orbax``/``restore_state_orbax`` offer
+and trivially rsync-able. ``Trainer.save_checkpoint`` adds an ``epoch_meta``
+sibling key ({epochs_done, epoch_step, steps_per_epoch}) next to the
+TrainState fields so resumes are step-exact; readers that only want
+variables ignore it, and ``Trainer.__init__`` pops it before
+``from_state_dict``. ``save_state_orbax``/``restore_state_orbax`` offer
 the Orbax directory format for async / multi-host checkpointing at scale.
 Torch ``.pth.tar`` interop lives in rot_mvgaze_tpu.compat.
 """

@@ -204,6 +204,13 @@ class Trainer:
             tree = getattr(self, "_resume_tree", None)
             if tree is None:
                 tree = restore_tree(self._resume_path)
+            # epoch position metadata (epochs_done/epoch_step/steps_per_
+            # epoch), written by save_checkpoint since r4 — popped before
+            # from_state_dict, which rejects keys the TrainState lacks.
+            # Absent in older checkpoints (legacy floor fallback below).
+            self._resume_meta = (
+                tree.pop("epoch_meta", None) if isinstance(tree, dict) else None
+            )
             if "opt_state" in tree:
                 self.state = restore_state_from_tree(tree, self.state)
                 print(
@@ -219,6 +226,30 @@ class Trainer:
             from jax.experimental import multihost_utils
 
             self.state = multihost_utils.broadcast_one_to_all(self.state)
+            # The epoch-position metadata lives in the same process-0-only
+            # checkpoint file — broadcast it too, or hosts without the file
+            # would derive a different start epoch than process 0.
+            m = getattr(self, "_resume_meta", None) or {}
+            marr = multihost_utils.broadcast_one_to_all(
+                np.asarray(
+                    [
+                        1 if getattr(self, "_resume_meta", None) else 0,
+                        int(m.get("epochs_done", 0)),
+                        int(m.get("epoch_step", 0)),
+                        int(m.get("steps_per_epoch", 0)),
+                    ],
+                    np.int64,
+                )
+            )
+            self._resume_meta = (
+                {
+                    "epochs_done": int(marr[1]),
+                    "epoch_step": int(marr[2]),
+                    "steps_per_epoch": int(marr[3]),
+                }
+                if int(marr[0])
+                else None
+            )
         if self.mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
 
@@ -277,18 +308,45 @@ class Trainer:
         # restarting at 0 re-emits steps 0..N into the same tensorboard dir
         # and zig-zags every training curve of the preemption-resume flow.
         self.train_iter = int(self.state.step)
-        # Epoch-resume: the restored step says how many epochs the
-        # checkpointed run already finished — a preemption restart must run
-        # only the REMAINING epochs, not self.epochs more (the reference
-        # cannot resume at all; its --ckpt_resume restarts the epoch count,
-        # /root/reference/main.py:251-257). Floor division re-runs an epoch
-        # interrupted mid-way (step granularity is exact; data granularity
-        # is per-epoch — the partial epoch's batches are repeated). Torch
-        # checkpoints carry no step, so weight-only fine-tune inits keep
-        # the full epoch budget. Pure function of replicated state →
-        # identical on every host.
+        # Epoch-resume: a preemption restart must run only the REMAINING
+        # epochs, not self.epochs more (the reference cannot resume at all;
+        # its --ckpt_resume restarts the epoch count,
+        # /root/reference/main.py:251-257). Checkpoints carry explicit
+        # epoch-position metadata (epochs_done, epoch_step, steps_per_epoch
+        # — save_checkpoint), so the resume is STEP-EXACT: the interrupted
+        # epoch fast-forwards past its already-consumed batches instead of
+        # re-running them, keeping state.step, the data stream, and the
+        # 'epoch'-mode LR schedule position identical to an uninterrupted
+        # run. Legacy checkpoints without the metadata fall back to
+        # step // steps_per_epoch (exact only for epoch-boundary saves; a
+        # mid-epoch legacy save re-runs that epoch). Torch checkpoints
+        # carry no step, so weight-only fine-tune inits keep the full
+        # epoch budget. Both derivations are pure functions of broadcast
+        # state → identical on every host.
         self._start_epoch = 0
-        if self.train_iter > 0 and self.steps_per_epoch > 0:
+        self._start_batch = 0
+        meta = getattr(self, "_resume_meta", None)
+        if meta is not None:
+            self._start_epoch = min(int(meta["epochs_done"]), self.epochs)
+            self._start_batch = max(int(meta["epoch_step"]), 0)
+            if self._start_batch and int(meta["steps_per_epoch"]) != self.steps_per_epoch:
+                # A different batch size / host count rebatches the epoch
+                # permutation — the saved batch position is meaningless
+                # there. epochs_done stays exact (it counts epochs, not
+                # steps); the interrupted epoch restarts from its first
+                # batch (its partial steps stay in the optimizer, shifting
+                # the 'epoch'-mode LR boundary once — unavoidable when the
+                # batching itself changed).
+                print(
+                    "resume: steps_per_epoch changed "
+                    f"({int(meta['steps_per_epoch'])} at save time vs "
+                    f"{self.steps_per_epoch} now) — the interrupted epoch "
+                    "restarts from its first batch"
+                )
+                self._start_batch = 0
+            if self._start_epoch >= self.epochs:
+                self._start_batch = 0
+        elif self.train_iter > 0 and self.steps_per_epoch > 0:
             self._start_epoch = min(
                 self.train_iter // self.steps_per_epoch, self.epochs
             )
@@ -298,6 +356,15 @@ class Trainer:
             # local counter that restarts at 0 — without this sync a
             # resumed epoch 7 would replay epoch 0's permutation.
             self.train_loader.epoch = self._start_epoch
+        # Epoch position the NEXT save_checkpoint records: (epochs fully
+        # done, optimizer steps taken inside the in-progress epoch).
+        self._epoch_cur = self._start_epoch
+        self._epoch_step = self._start_batch
+        # process-level executed-train-step counter (profiler trigger: the
+        # first executed step pays the compile, steady state starts at the
+        # second — regardless of epoch boundaries, so single-batch epochs
+        # still get traced)
+        self._exec_steps = 0
 
         print(parameter_table(self.state.params))
         print(f"total params: {count_parameters(self.state.params):,}")
@@ -442,13 +509,26 @@ class Trainer:
                     f"resume: checkpoint already covers {self.epochs} "
                     f"epoch(s) (step {self.train_iter}) — evaluating only"
                 )
-            elif start > 0:
+            elif start > 0 or self._start_batch > 0:
+                pos = (
+                    f" from batch {self._start_batch + 1}"
+                    if self._start_batch > 0
+                    else ""
+                )
                 print(
                     f"resume: {start} epoch(s) done (step {self.train_iter})"
-                    f" — training epochs {start + 1}..{self.epochs}"
+                    f" — training epochs {start + 1}..{self.epochs}{pos}"
                 )
             error = self.test(-1)
             for epoch in range(start, self.epochs):
+                if self._preempt_agreed():
+                    # signal landed during the PREVIOUS epoch's eval (after
+                    # its post-epoch check) or the initial eval — exit at
+                    # this epoch boundary instead of training one more step
+                    # before the in-loop check fires
+                    self.save_checkpoint(add=f"preempt_epoch_{epoch:02d}")
+                    print("preempted: state saved, exiting train loop")
+                    return float("nan")
                 self.train_one_epoch(epoch)
                 # agreement, not the local flag: a signal landing after the
                 # epoch's last in-loop sync must not let one host save+exit
@@ -462,6 +542,25 @@ class Trainer:
                     self.save_checkpoint(
                         add=f"epoch_{epoch + 1:02d}_error={round(error, 2)}"
                     )
+            if self._preempt_agreed():
+                # signal during the LAST epoch's eval: the loop is over, so
+                # no later boundary check will run — honor the handler's
+                # "checkpointing at next step boundary" promise instead of
+                # exiting with the printed promise silently dropped (the
+                # preempting scheduler may still expect a resumable save
+                # even though training completed).
+                self.save_checkpoint(add="preempt_final")
+                print("preempted during final eval: state saved")
+            if self.profile_steps > 0 and not self._profiled:
+                # e.g. the whole run executed < 2 train steps: the first
+                # step is excluded as compile, so there was no steady state
+                # to trace — say so instead of finishing with an absent
+                # trace dir and no explanation
+                print(
+                    "WARNING: --profile_steps was set but no trace was "
+                    "captured (the run executed fewer than 2 train steps; "
+                    "the first step is excluded as compile)"
+                )
             return error
         finally:
             for sig, h in prev_handlers.items():
@@ -473,10 +572,23 @@ class Trainer:
         print(f"Epoch: {epoch + 1} / {self.epochs}")
         assert self.train_loader is not None
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        skip = 0
+        if epoch == self._start_epoch and self._start_batch > 0:
+            # step-exact mid-epoch resume: the checkpointed run already
+            # consumed the first `skip` batches of this epoch's permutation
+            skip = self._start_batch
+            self._start_batch = 0  # one-shot
+            self.train_loader.skip_batches = skip
+            print(
+                f"resume: fast-forwarding epoch {epoch + 1} to batch "
+                f"{skip + 1}/{len(self.train_loader)}"
+            )
+        self._epoch_cur, self._epoch_step = epoch, skip
         epoch_t0 = time.perf_counter()
         n_samples = 0
         last_t = epoch_t0
         last_n = 0
+        preempt_break = False
         for i, batch in enumerate(
             device_prefetch(iter(self.train_loader), size=2, sharding=sharding)
         ):
@@ -484,7 +596,8 @@ class Trainer:
                 self.profile_steps > 0
                 and not self._profiled
                 and not self._profile_active
-                and i == 1  # step 0 compiled; trace steady-state only
+                and self._exec_steps == 1  # the first executed step paid
+                # the compile; trace steady-state only
             ):
                 jax.block_until_ready(self.state.params)
                 jax.profiler.start_trace(self._profile_dir)
@@ -492,6 +605,8 @@ class Trainer:
                 self._profile_left = self.profile_steps
             # key folding happens on device from state.step (see __init__)
             self.state, stats = self._train_step(self.state, batch, self._base_key)
+            self._exec_steps += 1
+            self._epoch_step += 1
             if self._profile_active:
                 self._profile_left -= 1
                 if self._profile_left == 0:
@@ -522,7 +637,12 @@ class Trainer:
                         )
             self.train_iter += 1
             if self._preempt_agreed():
+                preempt_break = True
                 break
+        if not preempt_break:
+            # natural exhaustion: this epoch is fully done — the next save
+            # records (epoch + 1, 0) so a resume continues at the next epoch
+            self._epoch_cur, self._epoch_step = epoch + 1, 0
         if self._profile_active:
             # epoch (or preemption) ended before the requested step count —
             # close the trace rather than leaving the profiler running
@@ -892,6 +1012,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, add: Optional[str] = None) -> str:
+        from flax import serialization
+
         from rot_mvgaze_tpu.train.checkpoints import save_state
 
         name = add if add is not None else "ckpt"
@@ -903,7 +1025,20 @@ class Trainer:
             # state from process 0 on resume, so non-shared filesystems
             # resume correctly too)
             return path
-        save_state(path, self.state)
+        # TrainState plus the epoch position, so a resume is step-exact:
+        # deriving epochs from step // steps_per_epoch alone drifts once a
+        # mid-epoch save exists in the lineage (the partial epoch's steps
+        # inflate the floor) and silently mis-counts if the batch size
+        # changes between runs. `epoch_meta` is popped before
+        # from_state_dict on restore; readers that only want variables
+        # (serving, converters) never look at it.
+        tree = serialization.to_state_dict(jax.device_get(self.state))
+        tree["epoch_meta"] = {
+            "epochs_done": int(self._epoch_cur),
+            "epoch_step": int(self._epoch_step),
+            "steps_per_epoch": int(self.steps_per_epoch),
+        }
+        save_state(path, tree)
         print(f"save file to: {path}")
         # Retention: keep only the newest N checkpoints when configured
         # (long preemption-heavy runs otherwise accumulate full-state saves).

@@ -157,6 +157,29 @@ class TestBatchLoader:
         next_epoch = epoch_order(len(ds), True, 3, loader.epoch, None)
         assert not np.array_equal(order, next_epoch)
 
+    def test_skip_batches_fast_forwards_one_epoch(self, ds):
+        """``skip_batches`` (step-exact mid-epoch resume) starts the next
+        iteration at batch k of the SAME permutation, records only the
+        yielded suffix in ``last_epoch_order``, and resets afterwards so
+        subsequent epochs are full-length again."""
+        full = BatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+        ref = [b["idx_0"] for b in full]
+
+        loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+        loader.skip_batches = 2
+        got = [b["idx_0"] for b in loader]
+        assert len(got) == len(ref) - 2
+        for a, b in zip(got, ref[2:]):
+            np.testing.assert_array_equal(a, b)
+        # the recorded order is the yielded suffix (per-subject eval replay)
+        np.testing.assert_array_equal(
+            np.concatenate(got),
+            [ds.idx_to_kv[int(r)][1] for r in loader.last_epoch_order],
+        )
+        # one-shot: the next epoch is full-length
+        assert loader.skip_batches == 0
+        assert len(list(loader)) == len(loader)
+
     def test_device_prefetch(self, ds):
         import jax
 

@@ -177,6 +177,26 @@ class TestNativeBatchLoader:
         loader = NativeBatchLoader(dataset, batch_size=7, drop_last=True)
         assert all(b["img_0"].shape[0] == 7 for b in loader)
 
+    def test_skip_batches_fast_forwards_one_epoch(self, dataset):
+        """Same step-exact-resume contract as BatchLoader: skip_batches
+        starts the next iteration at batch k of the same permutation,
+        one-shot."""
+        full = NativeBatchLoader(dataset, batch_size=8, shuffle=True, seed=1)
+        ref = [b["idx_0"] for b in full]
+
+        loader = NativeBatchLoader(dataset, batch_size=8, shuffle=True, seed=1)
+        loader.skip_batches = 2
+        got = [b["idx_0"] for b in loader]
+        assert len(got) == len(ref) - 2
+        for a, b in zip(got, ref[2:]):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(
+            np.concatenate(got),
+            [dataset.idx_to_kv[int(r)][1] for r in loader.last_epoch_order],
+        )
+        assert loader.skip_batches == 0
+        assert len(list(loader)) == len(loader)
+
 
 @needs_native
 class TestTrainerWithNativeLoader:

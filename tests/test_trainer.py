@@ -299,6 +299,59 @@ class TestFailureRecovery:
         saved = os.listdir(trainer.ckpt_dir)
         assert any(f.startswith("preempt_") for f in saved), saved
 
+    def test_signal_during_final_eval_still_saves(self, tmp_path, loaders):
+        """A signal landing during the LAST epoch's eval used to be dropped
+        silently: the handler printed 'checkpointing at next step boundary'
+        but no boundary check ran after that eval, so the run could exit
+        with no checkpoint at all (observed in a real CLI drive with
+        save_epoch > epochs)."""
+        train_loader, test_loader = loaders
+        cfg = _make_config(tmp_path, epochs=1, save_epoch=99)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        orig_test = trainer.test
+
+        def test_with_late_signal(epoch):
+            err = orig_test(epoch)
+            if epoch == 0:  # the final epoch's eval
+                trainer._preempted = True
+            return err
+
+        trainer.test = test_with_late_signal
+        err = trainer.train()
+        # training COMPLETED (finite error), and the promise held anyway
+        assert np.isfinite(err)
+        assert os.path.exists(
+            os.path.join(trainer.ckpt_dir, "preempt_final.msgpack")
+        )
+
+    def test_signal_during_midrun_eval_exits_at_boundary(
+        self, tmp_path, loaders
+    ):
+        """A signal during a mid-run eval exits at the NEXT epoch boundary
+        without training any extra step (the loop-top check), so the saved
+        state is exactly the evaluated one."""
+        train_loader, test_loader = loaders
+        spe = len(train_loader)
+        cfg = _make_config(tmp_path, epochs=3, save_epoch=99)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        orig_test = trainer.test
+
+        def test_with_signal(epoch):
+            err = orig_test(epoch)
+            if epoch == 0:  # after the first epoch's eval
+                trainer._preempted = True
+            return err
+
+        trainer.test = test_with_signal
+        err = trainer.train()
+        assert np.isnan(err)
+        assert int(trainer.state.step) == spe  # no extra step trained
+        assert os.path.exists(
+            os.path.join(trainer.ckpt_dir, "preempt_epoch_01.msgpack")
+        )
+
 
 class TestXlaCompilerOptions:
     """--xla_compiler_options plumbing (r3): JSON dict of per-executable XLA
@@ -544,13 +597,15 @@ class TestEpochResume:
     step says how many are done), not `--epochs` more, and must continue
     the original run's per-epoch shuffle sequence."""
 
-    def _fresh_loaders(self, tmp_path):
+    def _fresh_loaders(self, tmp_path, batch_size=6):
         # fresh loader objects = a fresh process: epoch counters at 0
         root = tmp_path / "data"
         train_ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
         test_ds = GazeDataset("mpiinv", str(root), "rgb", ["s00.h5"], seed=0)
         return (
-            BatchLoader(train_ds, batch_size=6, shuffle=True, drop_last=True),
+            BatchLoader(
+                train_ds, batch_size=batch_size, shuffle=True, drop_last=True
+            ),
             BatchLoader(test_ds, batch_size=6),
         )
 
@@ -581,29 +636,40 @@ class TestEpochResume:
         assert int(trainer2.state.step) == 3 * spe
         assert np.isfinite(err)
 
-    def test_midepoch_resume_reruns_interrupted_epoch(self, tmp_path, loaders):
-        import jax
-
+    def test_midepoch_resume_is_step_exact(self, tmp_path, loaders):
+        """A mid-epoch preemption resume fast-forwards past the batches the
+        checkpointed run already consumed: the total optimizer step count
+        equals an uninterrupted run's exactly (no re-run epoch inflating
+        state.step, so the 'epoch'-mode LR boundaries stay aligned and a
+        SECOND mid-epoch resume derives its position correctly too)."""
         train_loader, test_loader = loaders
         spe = len(train_loader)
+        assert spe >= 3
+        k = spe // 2
         model = FeatRotationSymm(backbone_depth=18, num_iter=1)
         cfg = _make_config(tmp_path, epochs=2, save_epoch=99)
         trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
-        batch = jax.tree.map(jnp.asarray, next(iter(train_loader)))
-        for i in range(spe // 2):  # interrupted mid-epoch
-            trainer.state, _ = trainer._train_step(
-                trainer.state, batch, jax.random.PRNGKey(i)
-            )
-        path = trainer.save_checkpoint(add="midepoch")
+        # deterministic "preemption" after k optimizer steps, through the
+        # real agreement check the signal path uses
+        trainer._preempt_agreed = lambda: trainer.train_iter >= k
+        err = trainer.train()
+        assert np.isnan(err)  # preempted runs return nan
+        assert int(trainer.state.step) == k
+        path = os.path.join(trainer.ckpt_dir, "preempt_epoch_00.msgpack")
+        assert os.path.exists(path)
 
         tl2, el2 = self._fresh_loaders(tmp_path)
         cfg2 = _make_config(
             tmp_path, epochs=2, save_epoch=99, ckpt_resume=path
         )
         trainer2 = Trainer(cfg2, model, _metrics(), tl2, el2)
-        # floor: the interrupted epoch is re-run from its start
         assert trainer2._start_epoch == 0
+        assert trainer2._start_batch == k
         assert tl2.epoch == 0
+        err = trainer2.train()
+        assert np.isfinite(err)
+        # step-exact: k checkpointed + (spe - k) resumed + spe epoch-2
+        assert int(trainer2.state.step) == 2 * spe
 
     def test_completed_checkpoint_evaluates_only(self, tmp_path, loaders):
         train_loader, test_loader = loaders
@@ -612,6 +678,7 @@ class TestEpochResume:
         cfg = _make_config(tmp_path, epochs=2, save_epoch=99)
         trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
         trainer.state = trainer.state.replace(step=2 * spe)
+        trainer._epoch_cur, trainer._epoch_step = 2, 0
         path = trainer.save_checkpoint(add="complete")
 
         tl2, el2 = self._fresh_loaders(tmp_path)
@@ -624,6 +691,81 @@ class TestEpochResume:
         assert np.isfinite(err)
         # no further training happened
         assert int(trainer2.state.step) == 2 * spe
+
+    def test_changed_batch_size_boundary_resume_uses_saved_epochs(
+        self, tmp_path, loaders
+    ):
+        """epochs_done is stored explicitly, so resuming with a different
+        batch size still counts completed epochs exactly (the old
+        step // steps_per_epoch derivation would divide by the NEW epoch
+        length and silently mis-count)."""
+        train_loader, test_loader = loaders
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        cfg = _make_config(tmp_path, epochs=3, save_epoch=99)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        trainer.train_one_epoch(0)
+        path = trainer.save_checkpoint(add="after_epoch_1")
+
+        # halve the batch size: epoch length doubles; floor derivation
+        # would claim 0 epochs done
+        tl2, el2 = self._fresh_loaders(tmp_path, batch_size=3)
+        assert len(tl2) != len(train_loader)
+        cfg2 = _make_config(
+            tmp_path, epochs=3, save_epoch=99, batch_size=3, ckpt_resume=path
+        )
+        trainer2 = Trainer(cfg2, model, _metrics(), tl2, el2)
+        assert trainer2._start_epoch == 1
+        assert trainer2._start_batch == 0
+
+    def test_changed_batch_size_midepoch_restarts_epoch(
+        self, tmp_path, loaders, capsys
+    ):
+        """A saved mid-epoch batch position is meaningless under a different
+        batching of the permutation — the interrupted epoch restarts from
+        its first batch, loudly."""
+        train_loader, test_loader = loaders
+        spe = len(train_loader)
+        k = spe // 2
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        cfg = _make_config(tmp_path, epochs=2, save_epoch=99)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        trainer._preempt_agreed = lambda: trainer.train_iter >= k
+        trainer.train()
+        path = os.path.join(trainer.ckpt_dir, "preempt_epoch_00.msgpack")
+
+        tl2, el2 = self._fresh_loaders(tmp_path, batch_size=3)
+        cfg2 = _make_config(
+            tmp_path, epochs=2, save_epoch=99, batch_size=3, ckpt_resume=path
+        )
+        trainer2 = Trainer(cfg2, model, _metrics(), tl2, el2)
+        assert trainer2._start_epoch == 0
+        assert trainer2._start_batch == 0  # reset: position not replayable
+        assert "steps_per_epoch changed" in capsys.readouterr().out
+
+    def test_legacy_checkpoint_without_meta_falls_back_to_floor(
+        self, tmp_path, loaders
+    ):
+        """Pre-metadata checkpoints (bare TrainState msgpack) resume via
+        step // steps_per_epoch — exact for epoch-boundary saves."""
+        from rot_mvgaze_tpu.train.checkpoints import save_state
+
+        train_loader, test_loader = loaders
+        spe = len(train_loader)
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        cfg = _make_config(tmp_path, epochs=3, save_epoch=99)
+        trainer = Trainer(cfg, model, _metrics(), train_loader, test_loader)
+        trainer.train_one_epoch(0)
+        path = str(tmp_path / "legacy.msgpack")
+        save_state(path, trainer.state)  # the old format: no epoch_meta
+
+        tl2, el2 = self._fresh_loaders(tmp_path)
+        cfg2 = _make_config(
+            tmp_path, epochs=3, save_epoch=99, ckpt_resume=path
+        )
+        trainer2 = Trainer(cfg2, model, _metrics(), tl2, el2)
+        assert trainer2._start_epoch == 1
+        assert trainer2._start_batch == 0
+        assert int(trainer2.state.step) == spe  # full state still restored
 
 
 class TestProfilerCapture:
@@ -658,6 +800,48 @@ class TestProfilerCapture:
             for f in fs
         ]
         assert sorted(files_after) == sorted(files)
+
+    def test_cli_profile_dir_requires_profile_steps(self, tmp_path):
+        """--profile_dir without --profile_steps used to run to completion
+        and leave an absent trace dir with no hint; it is now a fast-fail
+        argument error."""
+        from rot_mvgaze_tpu.cli.main import main
+
+        with pytest.raises(SystemExit):
+            main(
+                [
+                    "--mode", "train", "--exp_name", "mpiinv_known",
+                    "--output_dir", str(tmp_path),
+                    "--profile_dir", str(tmp_path / "trace"),
+                ]
+            )
+
+    def test_profile_fires_with_single_batch_epochs(self, tmp_path, loaders):
+        """The trigger counts EXECUTED steps process-wide, not the position
+        within an epoch — with one batch per epoch, an 'i == 1' trigger
+        would never fire and --profile_steps would silently capture
+        nothing."""
+        train_loader, test_loader = loaders
+        root = tmp_path / "data"
+        ds = GazeDataset("xgaze", str(root), "bgr", ["s00.h5"], seed=0)
+        one_batch = BatchLoader(
+            ds, batch_size=len(ds), shuffle=True, drop_last=True
+        )
+        assert len(one_batch) == 1
+        cfg = _make_config(tmp_path, profile_steps=1, epochs=2)
+        trainer = Trainer(
+            cfg,
+            FeatRotationSymm(backbone_depth=18, num_iter=1),
+            _metrics(),
+            one_batch,
+            test_loader,
+        )
+        trainer.train_one_epoch(0)  # the compile step: no trace yet
+        assert not trainer._profiled
+        trainer.train_one_epoch(1)  # second executed step: traced
+        assert trainer._profiled and not trainer._profile_active
+        profile_dir = os.path.join(cfg.output_dir, "profile")
+        assert any(fs for _, _, fs in os.walk(profile_dir))
 
     def test_short_epoch_closes_trace(self, tmp_path, loaders):
         """An epoch ending before profile_steps steps must stop the trace
