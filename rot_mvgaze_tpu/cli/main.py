@@ -147,6 +147,13 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="data-parallel training over ALL visible chips "
                         "(jax.sharding Mesh; multi-host via jax.distributed). "
                         "batch_size is the GLOBAL batch. False = single device")
+    p.add_argument("--spatial_partition", type=int, default=1,
+                   help="additionally shard each image's HEIGHT axis over "
+                        "groups of N consecutive chips (GSPMD halo exchange "
+                        "between conv shards). Data parallelism then runs "
+                        "over device_count/N groups. For per-chip batches "
+                        "< 1 sample or activations too large for HBM; plain "
+                        "DP (N=1) is faster whenever it fits")
     p.add_argument("--pairing", type=str, default="reference",
                    choices=["reference", "rng"],
                    help="stereo pair-index mode: 'reference' reproduces the "
@@ -297,11 +304,24 @@ def build_experiment(config: SimpleNamespace):
     mesh = None
     n_procs = jax.process_count()
     ga = max(int(getattr(config, "grad_accum", 1) or 1), 1)
+    sp = max(int(getattr(config, "spatial_partition", 1) or 1), 1)
+    if sp > 1 and not (getattr(config, "dp", True) and jax.device_count() > 1):
+        raise SystemExit(
+            f"--spatial_partition {sp} needs the mesh path: --dp true and "
+            f">1 visible device (have {jax.device_count()})"
+        )
     if getattr(config, "dp", True) and jax.device_count() > 1:
-        mesh = distributed.global_mesh()
-        n_dev = mesh.devices.size
-        # batch must divide over the mesh; with gradient accumulation each
-        # of the A micro-batches must too -> multiple of n_dev * A
+        if sp > 1 and config.image_size % sp:
+            raise SystemExit(
+                f"--spatial_partition {sp} must divide --image_size "
+                f"{config.image_size} (even height shards)"
+            )
+        mesh = distributed.global_mesh(spatial=sp)
+        from rot_mvgaze_tpu.parallel.mesh import dp_size
+
+        n_dev = dp_size(mesh)  # rows shard over 'data' only
+        # batch must divide over the mesh's DATA axis; with gradient
+        # accumulation each of the A micro-batches must too -> n_dev * A
         for attr, div in (
             ("batch_size", n_dev * ga),
             ("test_batch_size", n_dev),
@@ -312,8 +332,10 @@ def build_experiment(config: SimpleNamespace):
                 print(f"{attr} {bs} -> {rounded} (multiple of {div})")
                 setattr(config, attr, rounded)
         print(
-            f"data-parallel mesh: {n_dev} devices across {n_procs} host(s); "
-            f"global batch {config.batch_size}"
+            f"data-parallel mesh: {mesh.devices.size} devices across "
+            f"{n_procs} host(s)"
+            + (f", spatial partition {sp} (dp {n_dev})" if sp > 1 else "")
+            + f"; global batch {config.batch_size}"
         )
     elif ga > 1 and config.batch_size % ga:
         rounded = max(config.batch_size // ga, 1) * ga

@@ -195,13 +195,19 @@ def device_prefetch(
 
     With ``sharding`` set (e.g. a batch-sharded ``NamedSharding``), arrays land
     directly in their final layout — the per-host shard path for multi-chip
-    data parallelism.
+    data parallelism. A ``jax.sharding.Mesh`` is also accepted: each leaf
+    then takes its rank-dependent placement from ``parallel.mesh.
+    leaf_sharding`` (images shard over 'spatial' too on a 2-D mesh).
     """
     import collections
 
     import jax
 
     def put(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if isinstance(sharding, jax.sharding.Mesh):
+            from rot_mvgaze_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(batch, sharding)
         if sharding is not None:
             from rot_mvgaze_tpu.parallel.mesh import put_sharded
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Type
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # torch conv init: kaiming_normal(mode=fan_out, nonlinearity=relu)
@@ -378,6 +379,18 @@ class ResNet(nn.Module):
     # — trades ~30% more FLOPs for O(depth) less activation memory, enabling
     # much larger per-chip batches.
     remat: bool = False
+    # Spatial-partitioning floor, set by the trainer/server on a 2-D
+    # (data, spatial) mesh: ``(spatial_size, sharding)`` where ``sharding``
+    # drops the height axis (P('data')). Before any stage whose output
+    # would leave < 2 valid rows per spatial shard, activations are
+    # re-pinned to ``sharding`` — gathering the height axis for the
+    # remaining (compute-trivial) tail. Two reasons: (a) halo exchange
+    # dominates compute at such extents; (b) XLA's SPMD partitioner
+    # mis-compiles the BACKWARD of a residual block whose conv output has
+    # exactly 1 row per shard — deterministic wrong gradients with an
+    # exact forward (repro + regression coverage:
+    # tests/test_spatial_partition.py::test_spatial_floor_protects_tiny_extents).
+    spatial_unshard: Optional[Any] = None
 
     @property
     def feature_dim(self) -> int:
@@ -396,6 +409,25 @@ class ResNet(nn.Module):
                 f"got input with {x.shape[-1]} channels"
             )
         x = x.astype(self.dtype)
+
+        # --- spatial-partitioning floor (see the spatial_unshard field) ---
+        spatial_sharded = self.spatial_unshard is not None
+
+        def floor_check(x: jnp.ndarray, total_stride: int) -> jnp.ndarray:
+            # Gather the height axis BEFORE a stage whose output would
+            # leave < 2 valid rows per spatial shard. With even GSPMD
+            # shards of ceil(H/n) rows, every shard keeps >= 2 valid rows
+            # iff H_out >= 2 * n.
+            nonlocal spatial_sharded
+            if not spatial_sharded:
+                return x
+            n_spatial, sharding = self.spatial_unshard
+            if x.shape[1] // total_stride < 2 * n_spatial:
+                spatial_sharded = False
+                return jax.lax.with_sharding_constraint(x, sharding)
+            return x
+
+        x = floor_check(x, 4)  # stem: conv1 (s2) + maxpool (s2)
         if self.int8 and not train:
             x = QuantConv(
                 64, kernel_size=7, strides=2,
@@ -445,6 +477,7 @@ class ResNet(nn.Module):
             zip((64, 128, 256, 512), self.stage_sizes)
         ):
             strides = 1 if stage_i == 0 else 2
+            x = floor_check(x, strides)
             for block_i in range(num_blocks):
                 block_strides = strides if block_i == 0 else 1
                 has_down = block_i == 0 and (

@@ -311,6 +311,10 @@ class FeatRotationSymm(nn.Module):
     int8_backbone: Any = False
     # Rematerialize backbone blocks on backward (larger per-chip batches).
     remat: bool = False
+    # Spatial-partitioning floor for 2-D (data, spatial) meshes:
+    # ``(spatial_size, sharding)`` forwarded to the backbone (see
+    # models/resnet.py ResNet.spatial_unshard). Set by the trainer/server.
+    spatial_unshard: Optional[Any] = None
     # Run both views through the backbone as ONE concatenated batch (bigger
     # GEMMs, one kernel sequence). Always done at eval (numerically identical
     # there — BN uses running stats). At train it merges the two views'
@@ -361,6 +365,7 @@ class FeatRotationSymm(nn.Module):
             bn_stat_subsample=self.bn_stat_subsample,
             int8=self.int8_backbone,
             remat=self.remat,
+            spatial_unshard=self.spatial_unshard,
             name="backbone",
         )
         fc_dim = self.backbone.feature_dim

@@ -9,9 +9,24 @@ sharding annotations) — no hand-written communication.
 
 from rot_mvgaze_tpu.parallel.mesh import (
     batch_sharding,
+    dp_size,
+    image_sharding,
+    leaf_sharding,
     make_mesh,
     replicated_sharding,
     shard_batch,
+    spatial_size,
+    unshard_spec,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "image_sharding",
+    "leaf_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "dp_size",
+    "spatial_size",
+    "unshard_spec",
+]

@@ -98,9 +98,15 @@ def initialize(
             ) from e
 
 
-def global_mesh() -> "jax.sharding.Mesh":
-    """1-D data mesh over every chip in the job (all hosts)."""
-    return make_mesh(jax.devices(), axis_name=DATA_AXIS)
+def global_mesh(spatial: int = 1) -> "jax.sharding.Mesh":
+    """Data mesh over every chip in the job (all hosts).
+
+    ``spatial > 1`` returns the 2-D ``(data, spatial)`` mesh: groups of
+    ``spatial`` consecutive chips co-operate on each image's height axis
+    (conv halo exchange over ICI) while data parallelism runs over the
+    groups — see ``parallel.mesh.make_mesh``. Spatial groups may not span
+    hosts (``make_mesh`` enforces it)."""
+    return make_mesh(jax.devices(), axis_name=DATA_AXIS, spatial=spatial)
 
 
 def host_shard(n: int) -> Tuple[int, int]:

@@ -111,14 +111,18 @@ def load_variables_for_model(path: str, model: Any) -> Dict[str, Any]:
     return jax.tree.map(jnp.asarray, restore_variables(path, {}))
 
 
-def make_serving_forward(model: Any, image_size: int = 224):
+def make_serving_forward(
+    model: Any, image_size: int = 224, image_sharding: Any = None
+):
     """Pure serving forward: ``(variables, img_0, img_1, head_pose_0,
     head_pose_1) -> (N, 2) float32 pitchyaw``.
 
     Shared by the live :class:`GazePredictor` and the AOT exporter
     (rot_mvgaze_tpu.export) so the deployed artifact is bit-identical to
-    the in-process server.
-    """
+    the in-process server. ``image_sharding`` re-pins the preprocessed
+    views to the H-sharded layout on a 2-D ``(data, spatial)`` mesh (see
+    ``train.steps.make_train_step`` — without the constraint GSPMD may
+    replicate the spatial axis through the resize)."""
 
     def forward(variables, img_0, img_1, head_pose_0, head_pose_1):
         data = {
@@ -127,6 +131,11 @@ def make_serving_forward(model: Any, image_size: int = 224):
             "rot_0": rotation_matrix_2d(head_pose_0),
             "rot_1": rotation_matrix_2d(head_pose_1),
         }
+        if image_sharding is not None:
+            for k in ("img_0", "img_1"):
+                data[k] = jax.lax.with_sharding_constraint(
+                    data[k], image_sharding
+                )
         out = model.apply(variables, data, train=False)
         return out["pred_gaze"].astype(jnp.float32)
 
@@ -185,10 +194,26 @@ class GazePredictor:
             use_pallas_fusion=use_pallas_fusion,
             int8_backbone=int8,
         )
+        if mesh is not None:
+            from rot_mvgaze_tpu.parallel.mesh import (
+                spatial_size,
+                unshard_spec,
+            )
+
+            if spatial_size(mesh) > 1:
+                # backbone gathers the height axis once feature maps get
+                # too small to shard (models/resnet.py spatial_unshard)
+                self.model = self.model.clone(
+                    spatial_unshard=(spatial_size(mesh), unshard_spec(mesh))
+                )
         self.mesh = mesh
         if mesh is not None:
-            n_dev = mesh.devices.size
-            # round the executable's batch up to a device multiple
+            from rot_mvgaze_tpu.parallel.mesh import dp_size
+
+            # round the executable's batch up to a DATA-axis multiple (a
+            # 2-D mesh's 'spatial' axis shards height, not rows — spatial
+            # partitioning exists exactly so one request can use N chips)
+            n_dev = dp_size(mesh)
             micro_batch = -(-micro_batch // n_dev) * n_dev
         self.micro_batch = micro_batch
         self.image_size = image_size
@@ -242,6 +267,7 @@ class GazePredictor:
         if mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import (
                 batch_sharding,
+                image_sharding,
                 replicated_sharding,
             )
 
@@ -249,10 +275,22 @@ class GazePredictor:
                 self.variables, replicated_sharding(mesh)
             )
             self._batch_sharding = batch_sharding(mesh)
+            # rank-4 image args additionally shard height over 'spatial'
+            # on a 2-D mesh (GSPMD conv halo exchange)
+            self._image_sharding = image_sharding(mesh)
         else:
             self._batch_sharding = None
+            self._image_sharding = None
+        _constraint = None
+        if mesh is not None:
+            from rot_mvgaze_tpu.parallel.mesh import spatial_size
+
+            if spatial_size(mesh) > 1:
+                _constraint = self._image_sharding
         self._forward = jax.jit(
-            make_serving_forward(self.model, self.image_size)
+            make_serving_forward(
+                self.model, self.image_size, image_sharding=_constraint
+            )
         )
 
     def _load(self, path: str) -> Dict[str, Any]:
@@ -314,7 +352,13 @@ class GazePredictor:
             args = (i0, i1, h0.astype(np.float32), h1.astype(np.float32))
             if self._batch_sharding is not None:
                 args = tuple(
-                    jax.device_put(a, self._batch_sharding) for a in args
+                    jax.device_put(
+                        a,
+                        self._image_sharding
+                        if getattr(a, "ndim", 0) == 4
+                        else self._batch_sharding,
+                    )
+                    for a in args
                 )
             if use_calib:
                 with self._calib_lock:

@@ -59,6 +59,7 @@ def make_train_step(
     fold_key_by_step: bool = False,
     augment: bool = True,
     grad_accum: int = 1,
+    image_sharding: Any = None,
 ) -> Callable:
     """Returns ``(state, batch, key) -> (state, stats)``.
 
@@ -72,6 +73,16 @@ def make_train_step(
     normalizes with its own statistics, like torch gradient accumulation;
     running BN stats update once per micro-batch). Peak activation memory is
     that of one micro-batch.
+
+    ``image_sharding`` (a ``NamedSharding``, used with a 2-D ``(data,
+    spatial)`` mesh) re-pins the augmented views to the sharded layout
+    before they enter the backbone. Without the constraint GSPMD is free to
+    resolve the augmentation stage's gathers by replicating the spatial
+    axis — and once replicated it stays replicated, silently degrading
+    spatial partitioning to duplicated per-device compute (observed on the
+    compiled HLO: zero halo collectives, full-height per-device conv
+    shapes). The constraint makes the backbone's H-sharded layout a hard
+    boundary GSPMD must honor.
     """
     from rot_mvgaze_tpu.train.trainer import TrainState
 
@@ -89,6 +100,11 @@ def make_train_step(
             imgs = augment_views(key, batch, image_size, aug_dtype)
         else:
             imgs = {"img_0": batch["img_0"], "img_1": batch["img_1"]}
+        if image_sharding is not None:
+            imgs = {
+                k: jax.lax.with_sharding_constraint(v, image_sharding)
+                for k, v in imgs.items()
+            }
         return {**imgs, **prepare_rotations(batch)}
 
     def loss_and_grads(params, batch_stats, data):
@@ -178,8 +194,13 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model: Any, image_size: int = 224) -> Callable:
-    """Returns ``(params, batch_stats, batch) -> {pred_gaze, gt_gaze, ...}``."""
+def make_eval_step(
+    model: Any, image_size: int = 224, image_sharding: Any = None
+) -> Callable:
+    """Returns ``(params, batch_stats, batch) -> {pred_gaze, gt_gaze, ...}``.
+
+    ``image_sharding``: see ``make_train_step`` — re-pins the preprocessed
+    views to the H-sharded layout on a 2-D ``(data, spatial)`` mesh."""
 
     def eval_step(params, batch_stats, batch: Dict[str, Any]):
         data = {
@@ -187,6 +208,11 @@ def make_eval_step(model: Any, image_size: int = 224) -> Callable:
             "img_1": eval_preprocess(batch["img_1"], image_size),
             **prepare_rotations(batch),
         }
+        if image_sharding is not None:
+            for k in ("img_0", "img_1"):
+                data[k] = jax.lax.with_sharding_constraint(
+                    data[k], image_sharding
+                )
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, data, train=False
         )

@@ -37,7 +37,6 @@ from flax import struct
 
 from rot_mvgaze_tpu.data.pipeline import device_prefetch
 from rot_mvgaze_tpu.geometry import angular_error_numpy
-from rot_mvgaze_tpu.parallel.mesh import batch_sharding
 from rot_mvgaze_tpu.train.schedule import cyclic_triangular2
 from rot_mvgaze_tpu.train.tb import SummaryWriter, make_image_grid
 from rot_mvgaze_tpu.utils.summary import count_parameters, parameter_table
@@ -411,6 +410,29 @@ class Trainer:
             if parsed:
                 jit_kwargs["compiler_options"] = parsed
 
+        # On a 2-D (data, spatial) mesh the augmented views are re-pinned
+        # to the H-sharded layout inside the step (see make_train_step's
+        # image_sharding doc: without the constraint GSPMD silently
+        # replicates the spatial axis away).
+        img_sharding = None
+        if self.mesh is not None:
+            from rot_mvgaze_tpu.parallel.mesh import (
+                image_sharding as _img_sh,
+                spatial_size,
+                unshard_spec,
+            )
+
+            if spatial_size(self.mesh) > 1:
+                img_sharding = _img_sh(self.mesh)
+                if hasattr(self.model, "spatial_unshard"):
+                    # backbone gathers the height axis once feature maps
+                    # get too small to shard (ResNet.spatial_unshard)
+                    self.model = self.model.clone(
+                        spatial_unshard=(
+                            spatial_size(self.mesh),
+                            unshard_spec(self.mesh),
+                        )
+                    )
         self._train_step = jax.jit(
             make_train_step(
                 self.model,
@@ -423,6 +445,7 @@ class Trainer:
                 # per-step host dispatch (costly over a tunneled backend)
                 fold_key_by_step=True,
                 grad_accum=grad_accum,
+                image_sharding=img_sharding,
             ),
             donate_argnums=(0,),
             **jit_kwargs,
@@ -437,7 +460,11 @@ class Trainer:
         eval_model = self.model
         if getattr(self.model, "dtype", jnp.float32) != jnp.float32:
             eval_model = self.model.clone(dtype=jnp.float32)
-        self._eval_step = jax.jit(make_eval_step(eval_model, self.image_size))
+        self._eval_step = jax.jit(
+            make_eval_step(
+                eval_model, self.image_size, image_sharding=img_sharding
+            )
+        )
 
     # ------------------------------------------------------------------
     def _init_variables(self) -> Dict[str, Any]:
@@ -571,7 +598,9 @@ class Trainer:
 
         print(f"Epoch: {epoch + 1} / {self.epochs}")
         assert self.train_loader is not None
-        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        # Pass the MESH: device_prefetch then places each leaf by rank
+        # (images shard over 'spatial' too on a 2-D mesh, scalars replicate)
+        sharding = self.mesh
         skip = 0
         if epoch == self._start_epoch and self._start_batch > 0:
             # step-exact mid-epoch resume: the checkpointed run already
@@ -743,12 +772,14 @@ class Trainer:
         gt_all = np.zeros((n_test, 2))
         idx_all = np.full((n_test,), -1, np.int64)
         save_index = 0
-        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         # Pad every batch to ONE fixed shape: the first-seen batch size
-        # rounded up to the local device count. A ragged final batch would
-        # otherwise both fail to shard over the mesh AND compile a second
-        # eval executable (multi-minute on a tunneled TPU).
-        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        # rounded up to the local DATA-parallel degree (on a 2-D mesh the
+        # 'spatial' axis shards height, not rows). A ragged final batch
+        # would otherwise both fail to shard over the mesh AND compile a
+        # second eval executable (multi-minute on a tunneled TPU).
+        from rot_mvgaze_tpu.parallel.mesh import dp_size
+
+        n_dev = dp_size(self.mesh)
         n_dev_local = max(n_dev // jax.process_count(), 1)
         from rot_mvgaze_tpu.utils.padding import pad_batch
 
@@ -762,16 +793,16 @@ class Trainer:
                 # device multiple; only then would a second shape compile
                 yield pad_batch(b, max(target, bs + ((-bs) % n_dev_local))), bs
 
-        from rot_mvgaze_tpu.parallel.mesh import put_sharded
+        from rot_mvgaze_tpu.parallel.mesh import leaf_sharding, put_sharded
 
         for i, (batch, bs) in enumerate(batches()):
             if "idx_0" in batch:  # host-side, pre-sharding (for breakdowns)
                 idx_all[save_index : save_index + bs] = np.asarray(
                     batch["idx_0"]
                 ).reshape(-1)[:bs]
-            if sharding is not None:
+            if self.mesh is not None:
                 batch = jax.tree.map(
-                    lambda x: put_sharded(x, sharding)
+                    lambda x: put_sharded(x, leaf_sharding(self.mesh, x))
                     if getattr(x, "ndim", 0) > 0
                     else x,
                     batch,

@@ -20,6 +20,18 @@ def honor_cpu_platform_env() -> None:
     platform via ``jax.config.update`` — the env var alone cannot win
     against that. Must run before any backend initializes."""
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+            # Program-order thunk execution on CPU meshes: the
+            # concurrency-optimized scheduler lets device threads reach
+            # independent collectives in different orders, which deadlocks
+            # the rendezvous under mixed subgroup/global collectives (2-D
+            # spatial meshes; see tests/conftest.py). Real TPUs get a
+            # total order from their static schedule — CPU only.
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_enable_concurrency_optimized_scheduler"
+                "=false"
+            ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")

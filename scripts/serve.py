@@ -151,6 +151,11 @@ def main() -> int:
     p.add_argument("--dp", action="store_true",
                    help="shard each micro-batch over ALL visible chips "
                         "(data-parallel serving; params replicated)")
+    p.add_argument("--spatial_partition", type=int, default=1,
+                   help="shard each image's HEIGHT over groups of N chips "
+                        "(GSPMD conv halo exchange) — lets ONE request use "
+                        "N chips for latency; combines with --dp over "
+                        "device_count/N groups. Implies the mesh path")
     p.add_argument("--coalesce_ms", type=float, default=2.0,
                    help="dynamic batching: max wait to fill a shared "
                         "micro-batch from concurrent requests")
@@ -167,11 +172,26 @@ def main() -> int:
     enable_compile_cache()
 
     mesh = None
-    if args.dp and jax.device_count() > 1:
-        from rot_mvgaze_tpu.parallel.mesh import make_mesh
+    sp = max(args.spatial_partition, 1)
+    if (args.dp or sp > 1) and jax.device_count() > 1:
+        from rot_mvgaze_tpu.parallel.mesh import dp_size, make_mesh
 
-        mesh = make_mesh()
-        print(f"serving data-parallel over {mesh.devices.size} chips")
+        if sp > 1 and args.image_size % sp:
+            raise SystemExit(
+                f"--spatial_partition {sp} must divide --image_size "
+                f"{args.image_size}"
+            )
+        mesh = make_mesh(spatial=sp)
+        print(
+            f"serving over {mesh.devices.size} chips"
+            + (f" (spatial partition {sp}, dp {dp_size(mesh)})"
+               if sp > 1 else " (data-parallel)")
+        )
+    elif sp > 1:
+        raise SystemExit(
+            f"--spatial_partition {sp} needs >1 visible device "
+            f"(have {jax.device_count()})"
+        )
 
     predictor = GazePredictor(
         args.ckpt,

@@ -16,9 +16,18 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    # XLA:CPU's concurrency-optimized thunk scheduler lets each virtual
+    # device's thread reach INDEPENDENT collectives in a different order —
+    # with the 2-D (data, spatial) mesh's mix of subgroup psums and global
+    # halo permutes this deadlocks the 40 s rendezvous nondeterministically
+    # (observed: device 6 parked at op_id=1 while device 7 waited at
+    # op_id=114). The default scheduler executes thunks in program order,
+    # giving the total collective order real TPUs get from their static
+    # schedule. CPU-mesh tests only; never set on real chips.
+    flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -46,8 +46,8 @@ class TestGraftEntry:
         with pytest.raises(ValueError, match="n_steps"):
             graft.dryrun_multichip(8, n_steps=3)
         # legacy bool maps onto the named configs
-        assert graft._DRYRUN_CONFIGS["flagship"] == (224, 50, "bfloat16")
-        assert graft._DRYRUN_CONFIGS["reduced"] == (64, 18, "float32")
+        assert graft._DRYRUN_CONFIGS["flagship"] == (224, 50, "bfloat16", 1)
+        assert graft._DRYRUN_CONFIGS["reduced"] == (64, 18, "float32", 1)
 
     def test_entry_compiles(self):
         import __graft_entry__ as graft
