@@ -234,6 +234,18 @@ def _pallas_bn_flags(use_pallas_bn) -> tuple:
     return body, tail
 
 
+def min_spatial_shard_rows(h: int, n_shards: int) -> int:
+    """Valid rows of the SMALLEST shard when GSPMD shards a height-``h``
+    axis ``n_shards`` ways: even shards of ceil(h/n) rows, the axis padded
+    at the end — so the last shard holds the remainder and can have fewer
+    (even <= 0) valid rows than the others. The spatial floor must bound
+    THIS value, not ``h // n``: e.g. h=10, n=4 → shards of 3 rows, the
+    last holding 10 - 3*3 = 1 valid row (the XLA SPMD backward-mis-compile
+    regime), although 10 >= 2*4."""
+    per_shard = -(-h // n_shards)
+    return h - (n_shards - 1) * per_shard
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (/root/reference/models/resnet.py:50-96)."""
 
@@ -415,14 +427,18 @@ class ResNet(nn.Module):
 
         def floor_check(x: jnp.ndarray, total_stride: int) -> jnp.ndarray:
             # Gather the height axis BEFORE a stage whose output would
-            # leave < 2 valid rows per spatial shard. With even GSPMD
-            # shards of ceil(H/n) rows, every shard keeps >= 2 valid rows
-            # iff H_out >= 2 * n.
+            # leave < 2 valid rows in ANY spatial shard. GSPMD pads the
+            # axis to even shards of ceil(H/n) rows, so the LAST shard can
+            # hold fewer valid rows than the rest — the bound must be on
+            # min_spatial_shard_rows, not H_out >= 2n (e.g. H_out=10 over
+            # n=4 gives shards 3,3,3,1: the 1-valid-row mis-compile regime
+            # despite 10 >= 8).
             nonlocal spatial_sharded
             if not spatial_sharded:
                 return x
             n_spatial, sharding = self.spatial_unshard
-            if x.shape[1] // total_stride < 2 * n_spatial:
+            h_out = x.shape[1] // total_stride
+            if min_spatial_shard_rows(h_out, n_spatial) < 2:
                 spatial_sharded = False
                 return jax.lax.with_sharding_constraint(x, sharding)
             return x

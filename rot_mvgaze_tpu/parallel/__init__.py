@@ -9,24 +9,30 @@ sharding annotations) — no hand-written communication.
 
 from rot_mvgaze_tpu.parallel.mesh import (
     batch_sharding,
+    data_axis,
     dp_size,
     image_sharding,
     leaf_sharding,
     make_mesh,
+    pin_images,
     replicated_sharding,
     shard_batch,
     spatial_size,
     unshard_spec,
+    with_spatial_floor,
 )
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "data_axis",
     "image_sharding",
     "leaf_sharding",
+    "pin_images",
     "replicated_sharding",
     "shard_batch",
     "dp_size",
     "spatial_size",
     "unshard_spec",
+    "with_spatial_floor",
 ]

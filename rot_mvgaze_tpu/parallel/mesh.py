@@ -68,11 +68,20 @@ def make_mesh(
     return Mesh(grid, (axis_name, SPATIAL_AXIS))
 
 
+def data_axis(mesh: Mesh) -> str:
+    """The mesh's batch axis NAME. ``make_mesh`` accepts a custom
+    ``axis_name``, so sharding rules must read the mesh's actual first
+    axis instead of assuming the literal ``'data'`` — a custom-named 1-D
+    mesh would otherwise silently compute ``dp_size() == 1`` (no batch
+    rounding, under-sharded puts)."""
+    return mesh.axis_names[0]
+
+
 def dp_size(mesh: Optional[Mesh]) -> int:
     """Number of ways the BATCH axis is sharded (1 without a mesh)."""
     if mesh is None:
         return 1
-    return int(mesh.shape[DATA_AXIS]) if DATA_AXIS in mesh.axis_names else 1
+    return int(mesh.shape[data_axis(mesh)])
 
 
 def spatial_size(mesh: Optional[Mesh]) -> int:
@@ -82,16 +91,16 @@ def spatial_size(mesh: Optional[Mesh]) -> int:
     return int(mesh.shape[SPATIAL_AXIS])
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard leading (batch) dim across the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
+    """Shard leading (batch) dim across the mesh's data axis."""
+    return NamedSharding(mesh, P(axis_name or data_axis(mesh)))
 
 
 def image_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for NHWC image leaves: batch over 'data', and — on a 2-D
-    mesh — height over 'spatial' (conv halo exchange inserted by GSPMD)."""
+    """Sharding for NHWC image leaves: batch over the data axis, and — on a
+    2-D mesh — height over 'spatial' (conv halo exchange inserted by GSPMD)."""
     if spatial_size(mesh) > 1:
-        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+        return NamedSharding(mesh, P(data_axis(mesh), SPATIAL_AXIS))
     return batch_sharding(mesh)
 
 
@@ -104,7 +113,51 @@ def unshard_spec(mesh: Mesh) -> NamedSharding:
     """Batch-only sharding for activations whose height axis must be
     GATHERED off the 'spatial' axis (the backbone's spatial floor — see
     models/resnet.py ResNet.spatial_unshard)."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    return NamedSharding(mesh, P(data_axis(mesh)))
+
+
+def with_spatial_floor(model: Any, mesh: Optional[Mesh]) -> Any:
+    """Clone ``model`` with the backbone's spatial floor on a 2-D mesh
+    (``ResNet.spatial_unshard``): gather the height axis once feature maps
+    get too small to shard. MANDATORY for correctness, not just perf — XLA's
+    SPMD partitioner mis-compiles the backward at <2-valid-row spatial
+    shards (models/resnet.py min_spatial_shard_rows), so a model that cannot
+    take the floor must be REJECTED rather than silently trained sharded.
+    The single entry point used by the Trainer, GazePredictor, and the
+    driver dryrun. No-op on 1-D/absent meshes."""
+    sp = spatial_size(mesh)
+    if sp <= 1:
+        return model
+    if not hasattr(model, "spatial_unshard"):
+        raise ValueError(
+            f"{type(model).__name__} has no spatial_unshard field; training "
+            f"or serving it under a spatial mesh risks silently wrong "
+            f"gradients at tiny spatial extents (XLA SPMD backward "
+            f"mis-compile — see models/resnet.py). Use a 1-D data mesh."
+        )
+    return model.clone(spatial_unshard=(sp, unshard_spec(mesh)))
+
+
+def pin_images(data: Any, sharding: Optional[NamedSharding]) -> Any:
+    """Re-pin the two image views of a data dict to ``sharding`` via
+    ``with_sharding_constraint`` (no-op when ``sharding`` is None).
+
+    Used inside every jitted step on a 2-D mesh: without the constraint
+    GSPMD is free to resolve the augmentation/resize stage's gathers by
+    replicating the spatial axis — and once replicated it stays replicated,
+    silently degrading spatial partitioning to duplicated per-device
+    compute (observed on compiled HLO: zero halo collectives). One helper
+    so the train, eval, serving, and calibration steps cannot drift."""
+    if sharding is None:
+        return data
+    return {
+        **data,
+        **{
+            k: jax.lax.with_sharding_constraint(data[k], sharding)
+            for k in ("img_0", "img_1")
+            if k in data
+        },
+    }
 
 
 def leaf_sharding(mesh: Mesh, x: Any) -> NamedSharding:
@@ -112,7 +165,7 @@ def leaf_sharding(mesh: Mesh, x: Any) -> NamedSharding:
     rank-4 NHWC images shard (batch, height*), everything else shards on
     batch only. The single source of truth shared by ``shard_batch`` and
     the prefetch/eval paths."""
-    ndim = getattr(x, "ndim", np.asarray(x).ndim)
+    ndim = np.ndim(x)  # no host copy: reads .ndim when present
     if ndim == 0:
         return replicated_sharding(mesh)
     if ndim == 4:

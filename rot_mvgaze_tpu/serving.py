@@ -125,36 +125,48 @@ def make_serving_forward(
     replicate the spatial axis through the resize)."""
 
     def forward(variables, img_0, img_1, head_pose_0, head_pose_1):
-        data = {
-            "img_0": eval_preprocess(img_0, image_size),
-            "img_1": eval_preprocess(img_1, image_size),
-            "rot_0": rotation_matrix_2d(head_pose_0),
-            "rot_1": rotation_matrix_2d(head_pose_1),
-        }
-        if image_sharding is not None:
-            for k in ("img_0", "img_1"):
-                data[k] = jax.lax.with_sharding_constraint(
-                    data[k], image_sharding
-                )
+        from rot_mvgaze_tpu.parallel.mesh import pin_images
+
+        data = pin_images(
+            {
+                "img_0": eval_preprocess(img_0, image_size),
+                "img_1": eval_preprocess(img_1, image_size),
+            },
+            image_sharding,
+        )
+        data["rot_0"] = rotation_matrix_2d(head_pose_0)
+        data["rot_1"] = rotation_matrix_2d(head_pose_1)
         out = model.apply(variables, data, train=False)
         return out["pred_gaze"].astype(jnp.float32)
 
     return forward
 
 
-def make_calibration_forward(model: Any, image_size: int = 224):
+def make_calibration_forward(
+    model: Any, image_size: int = 224, image_sharding: Any = None
+):
     """Calibration twin of :func:`make_serving_forward` for the static-int8
     path: runs with the ``quant`` collection mutable so every QuantConv
     records its activation range (quantizing dynamically meanwhile, so the
-    returned predictions are valid). Returns ``(pred, updated_quant)``."""
+    returned predictions are valid). Returns ``(pred, updated_quant)``.
+    ``image_sharding`` must match the serving forward's — the recorded
+    activation ranges must come from the SAME partitioning the frozen
+    executable serves (and an unconstrained calibration graph on a spatial
+    mesh would replicate full-height activations per chip, defeating the
+    memory reason spatial serving exists)."""
 
     def forward(variables, img_0, img_1, head_pose_0, head_pose_1):
-        data = {
-            "img_0": eval_preprocess(img_0, image_size),
-            "img_1": eval_preprocess(img_1, image_size),
-            "rot_0": rotation_matrix_2d(head_pose_0),
-            "rot_1": rotation_matrix_2d(head_pose_1),
-        }
+        from rot_mvgaze_tpu.parallel.mesh import pin_images
+
+        data = pin_images(
+            {
+                "img_0": eval_preprocess(img_0, image_size),
+                "img_1": eval_preprocess(img_1, image_size),
+            },
+            image_sharding,
+        )
+        data["rot_0"] = rotation_matrix_2d(head_pose_0)
+        data["rot_1"] = rotation_matrix_2d(head_pose_1)
         out, updates = model.apply(
             variables, data, train=False, mutable=["quant"]
         )
@@ -194,27 +206,42 @@ class GazePredictor:
             use_pallas_fusion=use_pallas_fusion,
             int8_backbone=int8,
         )
+        self.mesh = mesh
+        self._batch_sharding = None
+        self._image_sharding = None
+        _constraint = None  # in-graph re-pin, spatial meshes only
         if mesh is not None:
             from rot_mvgaze_tpu.parallel.mesh import (
+                batch_sharding,
+                dp_size,
+                image_sharding,
                 spatial_size,
-                unshard_spec,
+                with_spatial_floor,
             )
 
-            if spatial_size(mesh) > 1:
-                # backbone gathers the height axis once feature maps get
-                # too small to shard (models/resnet.py spatial_unshard)
-                self.model = self.model.clone(
-                    spatial_unshard=(spatial_size(mesh), unshard_spec(mesh))
+            sp = spatial_size(mesh)
+            if sp > 1 and image_size % sp:
+                # uneven height shards start at the STEM and reach the
+                # <2-valid-row regime the floor exists to forbid — reject
+                # here (the public constructor), not just in scripts/serve
+                raise ValueError(
+                    f"image_size {image_size} is not divisible by the "
+                    f"mesh's spatial axis ({sp}); pick an even split"
                 )
-        self.mesh = mesh
-        if mesh is not None:
-            from rot_mvgaze_tpu.parallel.mesh import dp_size
-
+            # backbone gathers the height axis once feature maps get too
+            # small to shard (models/resnet.py spatial_unshard)
+            self.model = with_spatial_floor(self.model, mesh)
             # round the executable's batch up to a DATA-axis multiple (a
             # 2-D mesh's 'spatial' axis shards height, not rows — spatial
             # partitioning exists exactly so one request can use N chips)
             n_dev = dp_size(mesh)
             micro_batch = -(-micro_batch // n_dev) * n_dev
+            self._batch_sharding = batch_sharding(mesh)
+            # rank-4 image args additionally shard height over 'spatial'
+            # on a 2-D mesh (GSPMD conv halo exchange)
+            self._image_sharding = image_sharding(mesh)
+            if sp > 1:
+                _constraint = self._image_sharding
         self.micro_batch = micro_batch
         self.image_size = image_size
         self.variables = self._load(checkpoint)
@@ -253,7 +280,9 @@ class GazePredictor:
                 ),
             }
             self._calib = jax.jit(
-                make_calibration_forward(self.model, self.image_size)
+                make_calibration_forward(
+                    self.model, self.image_size, image_sharding=_constraint
+                )
             )
             # Persistable calibration: load previously saved activation
             # ranges if the file exists; otherwise auto-save there once the
@@ -265,28 +294,13 @@ class GazePredictor:
             ):
                 self.load_calibration(calibration_path)
         if mesh is not None:
-            from rot_mvgaze_tpu.parallel.mesh import (
-                batch_sharding,
-                image_sharding,
-                replicated_sharding,
-            )
+            from rot_mvgaze_tpu.parallel.mesh import replicated_sharding
 
+            # after the quant collection (if any) exists: params + ranges
+            # replicate together
             self.variables = jax.device_put(
                 self.variables, replicated_sharding(mesh)
             )
-            self._batch_sharding = batch_sharding(mesh)
-            # rank-4 image args additionally shard height over 'spatial'
-            # on a 2-D mesh (GSPMD conv halo exchange)
-            self._image_sharding = image_sharding(mesh)
-        else:
-            self._batch_sharding = None
-            self._image_sharding = None
-        _constraint = None
-        if mesh is not None:
-            from rot_mvgaze_tpu.parallel.mesh import spatial_size
-
-            if spatial_size(mesh) > 1:
-                _constraint = self._image_sharding
         self._forward = jax.jit(
             make_serving_forward(
                 self.model, self.image_size, image_sharding=_constraint

@@ -96,16 +96,16 @@ def make_train_step(
     )
 
     def prepare(key, batch):
+        from rot_mvgaze_tpu.parallel.mesh import pin_images
+
         if augment:
             imgs = augment_views(key, batch, image_size, aug_dtype)
         else:
             imgs = {"img_0": batch["img_0"], "img_1": batch["img_1"]}
-        if image_sharding is not None:
-            imgs = {
-                k: jax.lax.with_sharding_constraint(v, image_sharding)
-                for k, v in imgs.items()
-            }
-        return {**imgs, **prepare_rotations(batch)}
+        return {
+            **pin_images(imgs, image_sharding),
+            **prepare_rotations(batch),
+        }
 
     def loss_and_grads(params, batch_stats, data):
         def loss_fn(params):
@@ -203,16 +203,16 @@ def make_eval_step(
     views to the H-sharded layout on a 2-D ``(data, spatial)`` mesh."""
 
     def eval_step(params, batch_stats, batch: Dict[str, Any]):
-        data = {
-            "img_0": eval_preprocess(batch["img_0"], image_size),
-            "img_1": eval_preprocess(batch["img_1"], image_size),
-            **prepare_rotations(batch),
-        }
-        if image_sharding is not None:
-            for k in ("img_0", "img_1"):
-                data[k] = jax.lax.with_sharding_constraint(
-                    data[k], image_sharding
-                )
+        from rot_mvgaze_tpu.parallel.mesh import pin_images
+
+        data = pin_images(
+            {
+                "img_0": eval_preprocess(batch["img_0"], image_size),
+                "img_1": eval_preprocess(batch["img_1"], image_size),
+            },
+            image_sharding,
+        )
+        data.update(prepare_rotations(batch))
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, data, train=False
         )

@@ -419,20 +419,16 @@ class Trainer:
             from rot_mvgaze_tpu.parallel.mesh import (
                 image_sharding as _img_sh,
                 spatial_size,
-                unshard_spec,
+                with_spatial_floor,
             )
 
             if spatial_size(self.mesh) > 1:
                 img_sharding = _img_sh(self.mesh)
-                if hasattr(self.model, "spatial_unshard"):
-                    # backbone gathers the height axis once feature maps
-                    # get too small to shard (ResNet.spatial_unshard)
-                    self.model = self.model.clone(
-                        spatial_unshard=(
-                            spatial_size(self.mesh),
-                            unshard_spec(self.mesh),
-                        )
-                    )
+                # backbone gathers the height axis once feature maps get
+                # too small to shard (ResNet.spatial_unshard); RAISES for a
+                # model without the floor — training one spatially sharded
+                # risks silently wrong gradients at tiny extents
+                self.model = with_spatial_floor(self.model, self.mesh)
         self._train_step = jax.jit(
             make_train_step(
                 self.model,

@@ -40,22 +40,8 @@ from rot_mvgaze_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     spatial_size,
-    unshard_spec,
+    with_spatial_floor,
 )
-
-
-def with_spatial_floor(model, mesh):
-    """Clone ``model`` with the spatial floor the Trainer/server sets on a
-    2-D mesh (ResNet.spatial_unshard) — gathers the height axis once
-    feature maps get too small to shard. MANDATORY for correctness, not
-    just perf: XLA's SPMD partitioner mis-compiles the backward of a
-    residual block whose conv output has exactly 1 row per spatial shard
-    (see test_spatial_floor_protects_tiny_extents)."""
-    if spatial_size(mesh) > 1 and hasattr(model, "spatial_unshard"):
-        return model.clone(
-            spatial_unshard=(spatial_size(mesh), unshard_spec(mesh))
-        )
-    return model
 
 SIZE, DEPTH, BATCH = 64, 18, 4
 
@@ -308,6 +294,105 @@ def test_spatial_floor_protects_tiny_extents():
     )
 
 
+def test_min_spatial_shard_rows():
+    """GSPMD shards a height-h axis into even ceil(h/n) blocks with END
+    padding — the last shard's VALID rows is what the floor must bound."""
+    from rot_mvgaze_tpu.models.resnet import min_spatial_shard_rows
+
+    assert min_spatial_shard_rows(16, 4) == 4  # even split
+    assert min_spatial_shard_rows(8, 4) == 2  # exactly at the floor
+    # the review counterexamples: h >= 2n but the LAST shard has < 2 rows
+    assert min_spatial_shard_rows(10, 4) == 1  # shards 3,3,3,1
+    assert min_spatial_shard_rows(9, 4) == 0  # shards 3,3,3,0
+    assert min_spatial_shard_rows(13, 4) == 1  # shards 4,4,4,1
+    assert min_spatial_shard_rows(5, 2) == 2  # shards 3,2 — fine
+    assert min_spatial_shard_rows(7, 2) == 3  # shards 4,3 — fine
+
+
+def test_spatial_floor_handles_uneven_shards():
+    """The floor must gather on UNEVEN shards whose smallest piece has < 2
+    valid rows even when H_out >= 2n (the h=10/n=4 -> 3,3,3,1 regime):
+    gradients at spatial=4, 80 px must match single-device ground truth
+    while the stem/stage-1 (min shard rows >= 2) still halo-exchange."""
+    from rot_mvgaze_tpu.models.resnet import resnet18
+
+    size = 80  # stem H=20 (shards 5,5,5,5); stage2 H_out=10 -> 3,3,3,1
+    model = resnet18(dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, size, size, 3)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, size, size, 3))
+    )
+
+    mesh = make_mesh(jax.devices(), spatial=4)  # (data=2, spatial=4)
+    protected = with_spatial_floor(model, mesh)
+
+    def make_loss(m):
+        def loss_fn(params, batch_stats, x):
+            out = m.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=False,
+            )
+            return jnp.mean(out**2)
+
+        return loss_fn
+
+    g_gt = jax.grad(make_loss(model))(
+        variables["params"], variables.get("batch_stats", {}), x
+    )
+
+    rep = replicated_sharding(mesh)
+    p = jax.device_put(variables["params"], rep)
+    bs = jax.device_put(variables.get("batch_stats", {}), rep)
+    xs = jax.device_put(x, image_sharding(mesh))
+    jitted = jax.jit(jax.grad(make_loss(protected)), out_shardings=rep)
+    hlo = jitted.lower(p, bs, xs).compile().as_text()
+    g_sp = jax.device_get(jitted(p, bs, xs))
+
+    for a, b in zip(jax.tree.leaves(g_gt), jax.tree.leaves(g_sp)):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float64),
+            np.asarray(a, np.float64),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+    assert "collective-permute" in hlo, (
+        "stages whose smallest shard keeps >= 2 rows must STAY sharded"
+    )
+
+
+def test_with_spatial_floor_rejects_floorless_model():
+    """A model without the spatial_unshard field must be REJECTED on a
+    spatial mesh (silently training it sharded risks the wrong-gradient
+    mis-compile), and passed through untouched on 1-D/absent meshes."""
+
+    class NoFloor:
+        pass
+
+    model = NoFloor()
+    assert with_spatial_floor(model, None) is model
+    assert with_spatial_floor(model, make_mesh(jax.devices())) is model
+    with pytest.raises(ValueError, match="spatial_unshard"):
+        with_spatial_floor(model, make_mesh(jax.devices(), spatial=2))
+
+
+def test_custom_axis_name_mesh_rules():
+    """make_mesh(axis_name=...) is public API: dp_size and the sharding
+    rules must follow the mesh's ACTUAL axis name, not the literal 'data'
+    (regression: dp_size() silently returned 1, skipping batch rounding)."""
+    from rot_mvgaze_tpu.parallel.mesh import batch_sharding, data_axis
+
+    mesh = make_mesh(jax.devices(), axis_name="batch")
+    assert data_axis(mesh) == "batch"
+    assert dp_size(mesh) == 8
+    img = np.zeros((8, 16, 16, 3), np.uint8)
+    assert leaf_sharding(mesh, img).spec == P("batch")
+    assert batch_sharding(mesh).spec == P("batch")
+    sharded = shard_batch({"img_0": img}, mesh)
+    assert sharded["img_0"].addressable_shards[0].data.shape[0] == 1
+
+
 def test_multiprocess_spatial_group_guard(monkeypatch):
     # a spatial group spanning processes must be rejected (halos on DCN +
     # make_array_from_process_local_data contract violation)
@@ -364,6 +449,16 @@ def test_serving_spatial_matches_single_device(tmp_path):
     out_sp = spatial.predict(*args)
     assert np.all(np.isfinite(out_sp))
     np.testing.assert_allclose(out_sp, single.predict(*args), atol=1e-5)
+
+    # the public constructor must reject uneven height splits itself
+    # (stem-level <2-valid-row shards) — not rely on scripts/serve.py
+    with pytest.raises(ValueError, match="not divisible"):
+        GazePredictor(
+            ckpt, micro_batch=4,
+            mesh=make_mesh(jax.devices(), spatial=4),
+            backbone_depth=DEPTH, num_iter=1, image_size=30,
+            dtype=jnp.float32,
+        )
 
 
 # ------------------------------------------------------- user-facing CLI
