@@ -89,6 +89,10 @@ def main() -> None:
         # neutral, re-measured r3 after the bf16-aug/key-folding changes)
         fuse_views=os.environ.get("BENCH_FUSE_VIEWS", "0") == "1",
     )
+    # frozen (running-stat) BN fine-tuning mode: deletes the per-step BN
+    # stat reductions + their backward (an opt-in training-dynamics
+    # deviation like the knobs above; measured in docs/PERF.md r4)
+    freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
     metrics = IterationLoss(
         loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
     )
@@ -123,7 +127,7 @@ def main() -> None:
     # (each tiny host->device op costs ~ms over the tunnel).
     train_step = jax.jit(
         make_train_step(model, metrics, tx, image_size=size,
-                        fold_key_by_step=True),
+                        fold_key_by_step=True, freeze_bn=freeze_bn),
         donate_argnums=(0,),
     )
     key = jax.device_put(jax.random.PRNGKey(0))
@@ -180,6 +184,8 @@ def main() -> None:
             "num_iter": num_iter,
             "image_size": size,
         }
+    if freeze_bn:  # same workload shape, different training dynamics —
+        record.setdefault("config", {})["freeze_bn"] = True
     if n_dev > 1:
         record["n_chips"] = n_dev
         # derived from the ROUNDED per-chip value so the record is

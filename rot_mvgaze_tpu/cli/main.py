@@ -124,6 +124,14 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "reduce HBM pass ~k-fold; noisier stats — an opt-in "
                         "training-dynamics deviation from the reference, "
                         "like --fuse_views; measured in docs/PERF.md r3)")
+    p.add_argument("--freeze_bn", type=str2bool, default=False,
+                   help="fine-tuning recipe: every normalization layer uses "
+                        "its RUNNING statistics during training (a pure "
+                        "trainable affine; batch_stats never update). "
+                        "Intended with --pretrained_backbone/--ckpt_resume; "
+                        "also deletes the per-step BN stat reductions "
+                        "(~15%% of step time, docs/PERF.md). OFF by default "
+                        "so training dynamics match the reference")
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint) for larger per-chip batches")

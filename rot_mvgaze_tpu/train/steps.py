@@ -60,6 +60,7 @@ def make_train_step(
     augment: bool = True,
     grad_accum: int = 1,
     image_sharding: Any = None,
+    freeze_bn: bool = False,
 ) -> Callable:
     """Returns ``(state, batch, key) -> (state, stats)``.
 
@@ -73,6 +74,18 @@ def make_train_step(
     normalizes with its own statistics, like torch gradient accumulation;
     running BN stats update once per micro-batch). Peak activation memory is
     that of one micro-batch.
+
+    ``freeze_bn=True`` is the standard fine-tuning recipe (when warm-starting
+    from ``--pretrained_backbone`` / ``--ckpt_resume``): every normalization
+    layer uses its RUNNING statistics — a pure affine op — and
+    ``state.batch_stats`` passes through unchanged. Affine scale/bias stay
+    trainable. Besides the semantics, this deletes the per-step batch-stat
+    reductions and their backward (the ``multiply_reduce_fusion`` class that
+    the r2 device trace prices at ~15% of the step, docs/PERF.md) — the one
+    step-time lever the bandwidth-bound roofline leaves open. The reference
+    has no equivalent (its BN is always train-mode batch-stat,
+    /root/reference/trainer.py:121-143); this is a framework-added option,
+    OFF by default so training dynamics match the reference exactly.
 
     ``image_sharding`` (a ``NamedSharding``, used with a 2-D ``(data,
     spatial)`` mesh) re-pins the augmented views to the sharded layout
@@ -109,6 +122,16 @@ def make_train_step(
 
     def loss_and_grads(params, batch_stats, data):
         def loss_fn(params):
+            if freeze_bn:
+                # Running-stat (eval-mode) normalization, stats untouched:
+                # BN is a pure trainable affine here, so there is nothing
+                # mutable and no stat reduction in the compiled step.
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    data,
+                    train=False,
+                )
+                return metrics(out), (out, batch_stats)
             out, updates = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 data,

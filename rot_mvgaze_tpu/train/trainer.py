@@ -116,6 +116,13 @@ class Trainer:
                 f"auto_resume_dir={auto_dir!r} contains no *.msgpack"
             )
         self._resume_path = ckpt_resume
+        # Explicit weights of any provenance count as a warm start (used by
+        # the --freeze_bn cold-init warning below).
+        self._warm_start = (
+            ckpt_resume is not None
+            or init_variables is not None
+            or bool(getattr(config, "pretrained_backbone", None))
+        )
         if init_variables is None:
             init_variables = self._init_variables()
         pretrained_backbone = getattr(config, "pretrained_backbone", None)
@@ -371,6 +378,18 @@ class Trainer:
         # ---- jitted steps ----
         from rot_mvgaze_tpu.train.steps import make_eval_step, make_train_step
 
+        freeze_bn = bool(getattr(config, "freeze_bn", False))
+        if freeze_bn and not self._warm_start:
+            # Frozen BN normalizes with the checkpoint's running statistics;
+            # from a cold init those are the (0, 1) defaults, so every BN is
+            # a no-op affine and training quality suffers silently. Warn,
+            # don't refuse: a deliberate cold-start experiment stays legal.
+            print(
+                "WARNING: --freeze_bn without --pretrained_backbone/"
+                "--ckpt_resume freezes BatchNorm at its init statistics "
+                "(mean=0, var=1); intended for fine-tuning warm starts",
+                flush=True,
+            )
         grad_accum = int(getattr(config, "grad_accum", 1) or 1)
         if grad_accum > 1 and train_loader is not None:
             # fail fast: a ragged batch would hit the micro-split reshape at
@@ -442,6 +461,7 @@ class Trainer:
                 fold_key_by_step=True,
                 grad_accum=grad_accum,
                 image_sharding=img_sharding,
+                freeze_bn=freeze_bn,
             ),
             donate_argnums=(0,),
             **jit_kwargs,
