@@ -88,6 +88,16 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "(resnext50_32x4d, resnext101_32x8d, "
                         "wide_resnet50_2, wide_resnet101_2)")
     p.add_argument("--num_iter", type=int, default=3)
+    p.add_argument("--num_views", type=int, default=2,
+                   help="views per sample. 2 (default) = the reference's "
+                        "stereo protocol. >2 switches to the framework-"
+                        "added V-view model/dataset (models/multiview.py: "
+                        "each view fuses the MEAN of the others rotated "
+                        "into its frame; reduces exactly to the stereo "
+                        "model at V=2, stereo checkpoints load at any V). "
+                        "Stereo-only options (grad_accum, "
+                        "spatial_partition, encode_rotmat, share_feature, "
+                        "pallas paths, fuse_views) are rejected")
     p.add_argument("--share_weights", type=str2bool, default=False)
     p.add_argument("--encode_rotmat", type=str2bool, default=False)
     p.add_argument("--share_feature", type=str2bool, default=False)
@@ -207,7 +217,11 @@ def _load_data_paths(override: Optional[str]) -> dict:
 
 
 def configure_dataset(
-    exp_name: str, data_paths: dict, seed: int = 0, pairing: str = "reference"
+    exp_name: str,
+    data_paths: dict,
+    seed: int = 0,
+    pairing: str = "reference",
+    n_views: int = 2,
 ) -> Tuple["GazeDataset", "GazeDataset"]:  # noqa: F821
     """exp_name -> (train_dataset, test_dataset); exact mapping of
     /root/reference/main.py:121-209.
@@ -216,10 +230,15 @@ def configure_dataset(
     ``random.Random(seed)`` drawn train-first — the reference's exact
     construction order (main.py:216 seeds, :224 builds train then test), so
     both frozen pair indices match the reference bit-for-bit.
+
+    ``n_views > 2`` builds ``MultiViewGazeDataset`` pairs instead
+    (framework-added; the reference protocol has no V-view counterpart, so
+    ``pairing`` does not apply there — the V-view index is its own seeded
+    draw, data/pairing.py build_multiview_index).
     """
     import random as stdlib_random
 
-    from rot_mvgaze_tpu.data import GazeDataset
+    from rot_mvgaze_tpu.data import GazeDataset, MultiViewGazeDataset
 
     pair_rng = stdlib_random.Random(seed) if pairing == "reference" else None
 
@@ -245,6 +264,27 @@ def configure_dataset(
     if dataset_setting not in specs:
         raise NotImplementedError(exp_name)
     (train_name, train_color), (test_name, test_color) = specs[dataset_setting]
+
+    if n_views > 2:
+        train_dataset = MultiViewGazeDataset(
+            dataset_name=train_name,
+            dataset_path=data_paths[train_name],
+            color_type=train_color,
+            keys_to_use=_load_subjects(train_name),
+            n_views=n_views,
+            camera_tag=cam_train,
+            seed=seed,
+        )
+        test_dataset = MultiViewGazeDataset(
+            dataset_name=test_name,
+            dataset_path=data_paths[test_name],
+            color_type=test_color,
+            keys_to_use=_load_subjects(test_name),
+            n_views=n_views,
+            camera_tag=cam_test,
+            seed=seed,
+        )
+        return train_dataset, test_dataset
 
     train_dataset = GazeDataset(
         dataset_name=train_name,
@@ -313,6 +353,29 @@ def build_experiment(config: SimpleNamespace):
     n_procs = jax.process_count()
     ga = max(int(getattr(config, "grad_accum", 1) or 1), 1)
     sp = max(int(getattr(config, "spatial_partition", 1) or 1), 1)
+    nv = max(int(getattr(config, "num_views", 2) or 2), 2)
+    if nv > 2:
+        # V-view mode composes with DP/multi-host/freeze_bn/remat; the
+        # stereo-only options below would be silently inert or wrong —
+        # refuse loudly (same policy as the model's unconstructible combos)
+        unsupported = [
+            ("--grad_accum > 1", ga > 1),
+            ("--spatial_partition > 1", sp > 1),
+            ("--encode_rotmat", getattr(config, "encode_rotmat", False)),
+            ("--share_feature", getattr(config, "share_feature", False)),
+            ("--use_pallas_fusion",
+             getattr(config, "use_pallas_fusion", False)),
+            ("--use_pallas_bn", bool(getattr(config, "use_pallas_bn",
+                                             False))),
+            ("--bn_stat_subsample > 1",
+             int(getattr(config, "bn_stat_subsample", 1) or 1) > 1),
+            ("--fuse_views", getattr(config, "fuse_views", False)),
+        ]
+        bad = [flag for flag, on in unsupported if on]
+        if bad:
+            raise SystemExit(
+                f"--num_views {nv} does not support: {', '.join(bad)}"
+            )
     if sp > 1 and not (getattr(config, "dp", True) and jax.device_count() > 1):
         raise SystemExit(
             f"--spatial_partition {sp} needs the mesh path: --dp true and "
@@ -360,10 +423,15 @@ def build_experiment(config: SimpleNamespace):
     train_dataset, test_dataset = configure_dataset(
         config.exp_name, data_paths, seed=config.seed,
         pairing=getattr(config, "pairing", "reference"),
+        n_views=nv,
     )
 
     train_loader = test_loader = None
-    if getattr(config, "native_loader", True):
+    if nv > 2 and getattr(config, "native_loader", True):
+        # the packed cache stores stereo pair rows; V-view batches come
+        # from the h5py thread loader (the stacked reads are few and big)
+        print("V-view mode: using the h5py loader (packed cache is stereo)")
+    elif getattr(config, "native_loader", True):
         try:
             from rot_mvgaze_tpu.data.native import (
                 NativeBatchLoader,
@@ -423,6 +491,34 @@ def build_experiment(config: SimpleNamespace):
             shuffle=False,
             num_threads=config.num_workers,
             process_shard=process_shard,
+        )
+
+    if nv > 2:
+        from rot_mvgaze_tpu.losses import MultiViewL1Loss
+        from rot_mvgaze_tpu.models import FeatRotationMultiView
+
+        model = FeatRotationMultiView(
+            backbone_depth=config.backbone_depth,
+            num_iter=config.num_iter,
+            share_weights=config.share_weights,
+            ignore_rotmat=config.ignore_rotmat,
+            dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+            remat=getattr(config, "remat", False),
+        )
+        # same scale as the stereo stack: view 0 weighted 1.0, every
+        # partner view reference_decay (reduces exactly to StereoL1Loss
+        # at V=2 — losses/multiview.py)
+        metrics = IterationLoss(
+            loss=MultiViewL1Loss(rel_weight=0.01, reference_decay=1.0),
+            iter_decay=0.5,
+        )
+        return Trainer(
+            config=config,
+            model=model,
+            metrics=metrics,
+            train_loader=train_loader,
+            test_loader=test_loader,
+            mesh=mesh,
         )
 
     model = FeatRotationSymm(

@@ -14,6 +14,7 @@ from rot_mvgaze_tpu.data.pairing import (
     reference_pair_indices,
 )
 from rot_mvgaze_tpu.data.hdf5 import GazeDataset
+from rot_mvgaze_tpu.data.multiview import MultiViewGazeDataset
 from rot_mvgaze_tpu.data.pipeline import BatchLoader, device_prefetch
 from rot_mvgaze_tpu.data.synthetic import write_synthetic_h5
 
@@ -23,6 +24,7 @@ __all__ = [
     "build_pair_index_reference",
     "reference_pair_indices",
     "GazeDataset",
+    "MultiViewGazeDataset",
     "BatchLoader",
     "device_prefetch",
     "write_synthetic_h5",

@@ -173,3 +173,53 @@ def reference_pair_indices(
         test_file_sizes, test_camera_tag, rng=rng, num_cameras=num_cameras
     )
     return train, test
+
+
+MultiViewIndex = List[Tuple[int, Tuple[int, ...]]]  # (file_idx, view rows)
+
+
+def build_multiview_index(
+    file_sizes: Sequence[int],
+    camera_tag: str = "all",
+    n_views: int = 3,
+    seed: int = 0,
+    num_cameras: int = NUM_CAMERAS,
+) -> MultiViewIndex:
+    """V-view generalization of :func:`build_pair_index`.
+
+    For every in-split row, ``n_views - 1`` DISTINCT partner rows are drawn
+    without replacement from the other in-split cameras of the same frame
+    (the stereo builders draw exactly one — /root/reference/dataset/
+    gaze.py:60-73 has no V>2 counterpart, this is framework-added for
+    ``models.multiview.FeatRotationMultiView``). Rows whose frame has fewer
+    than ``n_views - 1`` other valid cameras are SKIPPED, mirroring the
+    stereo builders' skip of partner-less rows. Sampled once at
+    construction with a dedicated ``numpy.random.Generator(seed)`` (the
+    "rng" pairing mode's determinism contract).
+    """
+    if n_views < 2:
+        raise ValueError(f"n_views must be >= 2, got {n_views}")
+    cameras = set(CAMERA_TAGS[camera_tag])
+    rng = np.random.default_rng(seed)
+    index: MultiViewIndex = []
+    for file_i, n in enumerate(file_sizes):
+        valid_set = {
+            i for i in range(n) if (i % num_cameras) in cameras
+        }
+        for idx in sorted(valid_set):
+            frame_start = (idx // num_cameras) * num_cameras
+            candidates = [
+                i
+                for i in range(frame_start, frame_start + num_cameras)
+                if i in valid_set and i != idx and i < n
+            ]
+            if len(candidates) >= n_views - 1:
+                partners = rng.choice(
+                    np.asarray(candidates, dtype=np.int64),
+                    size=n_views - 1,
+                    replace=False,
+                )
+                index.append(
+                    (file_i, (idx, *(int(p) for p in partners)))
+                )
+    return index

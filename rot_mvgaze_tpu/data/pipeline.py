@@ -17,8 +17,12 @@ from typing import Any, Dict, Iterable, Iterator, Optional
 
 import numpy as np
 
-_FLOAT_KEYS = ("gt_gaze", "gt_gaze_1", "head_pose_0", "head_pose_1")
-_INT_KEYS = ("idx_0", "idx_1")
+_FLOAT_KEYS = (
+    "gt_gaze", "gt_gaze_1", "head_pose_0", "head_pose_1",
+    # stacked V-view labels (data.multiview.MultiViewGazeDataset)
+    "gt_gazes", "head_poses",
+)
+_INT_KEYS = ("idx_0", "idx_1", "idxs")
 
 
 def collate(samples: list) -> Dict[str, np.ndarray]:

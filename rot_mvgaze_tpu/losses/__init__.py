@@ -9,6 +9,7 @@ from rot_mvgaze_tpu.losses.gaze import (
     gaze_l2_loss,
     make_gaze_loss,
 )
+from rot_mvgaze_tpu.losses.multiview import MultiViewL1Loss
 from rot_mvgaze_tpu.losses.stereo import IterationLoss, StereoL1Loss
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "gaze_l2_loss",
     "make_gaze_loss",
     "StereoL1Loss",
+    "MultiViewL1Loss",
     "IterationLoss",
 ]

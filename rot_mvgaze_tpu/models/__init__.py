@@ -16,6 +16,7 @@ from rot_mvgaze_tpu.models.resnet import (
     wide_resnet50_2,
     wide_resnet101_2,
 )
+from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
 from rot_mvgaze_tpu.models.rot_mv import FeatRotationSymm
 from rot_mvgaze_tpu.models.single import SingleViewGazeNet
 
@@ -32,5 +33,6 @@ __all__ = [
     "wide_resnet50_2",
     "wide_resnet101_2",
     "FeatRotationSymm",
+    "FeatRotationMultiView",
     "SingleViewGazeNet",
 ]

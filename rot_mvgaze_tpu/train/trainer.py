@@ -87,6 +87,9 @@ class Trainer:
         self.test_loader = test_loader
         self.mesh = mesh
         self.image_size = int(getattr(config, "image_size", 224))
+        # V-view mode (framework-added, models.multiview): >2 switches the
+        # jitted steps and init shapes to the stacked (B, V, ...) contract.
+        self._num_views = int(getattr(config, "num_views", 2) or 2)
 
         self.root_key = jax.random.PRNGKey(int(getattr(config, "seed", 0)))
 
@@ -448,24 +451,55 @@ class Trainer:
                 # model without the floor — training one spatially sharded
                 # risks silently wrong gradients at tiny extents
                 self.model = with_spatial_floor(self.model, self.mesh)
-        self._train_step = jax.jit(
-            make_train_step(
-                self.model,
-                self.metrics,
-                self.tx,
-                image_size=self.image_size,
-                schedule=self.schedule,
-                with_images=True,
-                # per-step PRNG key derived on device from state.step — no
-                # per-step host dispatch (costly over a tunneled backend)
-                fold_key_by_step=True,
-                grad_accum=grad_accum,
-                image_sharding=img_sharding,
-                freeze_bn=freeze_bn,
-            ),
-            donate_argnums=(0,),
-            **jit_kwargs,
-        )
+        if self._num_views > 2:
+            # stacked-(B,V,...) steps; grad_accum/spatial stay stereo-only
+            if grad_accum > 1:
+                raise ValueError(
+                    "--grad_accum > 1 is not supported with --num_views > 2"
+                )
+            if img_sharding is not None:
+                raise ValueError(
+                    "--spatial_partition is not supported with "
+                    "--num_views > 2"
+                )
+            from rot_mvgaze_tpu.train.multiview_steps import (
+                make_multiview_eval_step,
+                make_multiview_train_step,
+            )
+
+            self._train_step = jax.jit(
+                make_multiview_train_step(
+                    self.model,
+                    self.metrics,
+                    self.tx,
+                    image_size=self.image_size,
+                    schedule=self.schedule,
+                    with_images=True,
+                    fold_key_by_step=True,
+                    freeze_bn=freeze_bn,
+                ),
+                donate_argnums=(0,),
+                **jit_kwargs,
+            )
+        else:
+            self._train_step = jax.jit(
+                make_train_step(
+                    self.model,
+                    self.metrics,
+                    self.tx,
+                    image_size=self.image_size,
+                    schedule=self.schedule,
+                    with_images=True,
+                    # per-step PRNG key derived on device from state.step —
+                    # no per-step host dispatch (costly over a tunnel)
+                    fold_key_by_step=True,
+                    grad_accum=grad_accum,
+                    image_sharding=img_sharding,
+                    freeze_bn=freeze_bn,
+                ),
+                donate_argnums=(0,),
+                **jit_kwargs,
+            )
         # staged once; reused every step (fold happens inside the jit)
         self._base_key = jax.device_put(self.root_key)
         # Eval always runs float32 regardless of the training compute dtype:
@@ -476,21 +510,33 @@ class Trainer:
         eval_model = self.model
         if getattr(self.model, "dtype", jnp.float32) != jnp.float32:
             eval_model = self.model.clone(dtype=jnp.float32)
-        self._eval_step = jax.jit(
-            make_eval_step(
-                eval_model, self.image_size, image_sharding=img_sharding
+        if self._num_views > 2:
+            self._eval_step = jax.jit(
+                make_multiview_eval_step(eval_model, self.image_size)
             )
-        )
+        else:
+            self._eval_step = jax.jit(
+                make_eval_step(
+                    eval_model, self.image_size, image_sharding=img_sharding
+                )
+            )
 
     # ------------------------------------------------------------------
     def _init_variables(self) -> Dict[str, Any]:
         s = self.image_size
-        dummy = {
-            "img_0": jnp.zeros((2, s, s, 3), jnp.float32),
-            "img_1": jnp.zeros((2, s, s, 3), jnp.float32),
-            "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-            "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-        }
+        if self._num_views > 2:
+            V = self._num_views
+            dummy = {
+                "imgs": jnp.zeros((2, V, s, s, 3), jnp.float32),
+                "rots": jnp.broadcast_to(jnp.eye(3), (2, V, 3, 3)),
+            }
+        else:
+            dummy = {
+                "img_0": jnp.zeros((2, s, s, 3), jnp.float32),
+                "img_1": jnp.zeros((2, s, s, 3), jnp.float32),
+                "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+                "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+            }
         return self.model.init({"params": self.root_key}, dummy, train=False)
 
     def _load_checkpoint_variables(
@@ -506,7 +552,10 @@ class Trainer:
             sd = load_torch_state_dict(path)
             from rot_mvgaze_tpu.serving import MODEL_CONFIG_KEYS
 
-            cfg = {k: getattr(self.model, k) for k in MODEL_CONFIG_KEYS}
+            # getattr default False: FeatRotationMultiView lacks the stereo-only
+            # ablation fields (encode_rotmat/share_feature) but shares the
+            # stereo param tree, so conversion treats them as off
+            cfg = {k: getattr(self.model, k, False) for k in MODEL_CONFIG_KEYS}
             converted = convert_rot_mv_state_dict(sd, **cfg)
             return jax.tree.map(jnp.asarray, converted)
         from rot_mvgaze_tpu.train.checkpoints import (
@@ -656,12 +705,18 @@ class Trainer:
                 self._profile_left -= 1
                 if self._profile_left == 0:
                     self._stop_profile()
-            n_samples += int(batch["img_0"].shape[0])
+            n_samples += int(
+                (batch["imgs"] if "imgs" in batch else batch["img_0"]).shape[0]
+            )
             if self.train_iter != 0 and self.train_iter % self.print_freq == 0:
                 loss = float(stats["loss_gaze"])  # device sync
                 err = float(stats["error_gaze"])
                 now = time.perf_counter()
-                ips = 2 * (n_samples - last_n) / max(now - last_t, 1e-9)
+                ips = (
+                    self._num_views
+                    * (n_samples - last_n)
+                    / max(now - last_t, 1e-9)
+                )
                 last_t, last_n = now, n_samples
                 print(
                     f"train iter {self.train_iter}: loss_gaze={loss:.5f} "
@@ -802,7 +857,7 @@ class Trainer:
         def batches():
             target = None
             for b in iter(self.test_loader):
-                bs = int(b["img_0"].shape[0])
+                bs = int((b["imgs"] if "imgs" in b else b["img_0"]).shape[0])
                 if target is None:
                     target = bs + ((-bs) % n_dev_local)
                 # an oversized batch (nonstandard loader) still pads to a
@@ -816,6 +871,10 @@ class Trainer:
                 idx_all[save_index : save_index + bs] = np.asarray(
                     batch["idx_0"]
                 ).reshape(-1)[:bs]
+            elif "idxs" in batch:  # V-view batches: view 0 is the eval view
+                idx_all[save_index : save_index + bs] = np.asarray(
+                    batch["idxs"]
+                )[:bs, 0]
             if self.mesh is not None:
                 batch = jax.tree.map(
                     lambda x: put_sharded(x, leaf_sharding(self.mesh, x))
@@ -894,8 +953,12 @@ class Trainer:
         idx = self._last_eval_idx
         if idx is None:
             return None
+        def _eval_row(entry):
+            # stereo: (file, idx, partner) -> idx; V-view: (file, (idx, ...))
+            return entry[1][0] if isinstance(entry[1], tuple) else entry[1]
+
         expect = np.asarray(
-            [ds.idx_to_kv[int(r)][1] for r in rows], np.int64
+            [_eval_row(ds.idx_to_kv[int(r)]) for r in rows], np.int64
         )
         if not np.array_equal(np.asarray(idx, np.int64), expect):
             return None
@@ -1110,7 +1173,8 @@ class Trainer:
 
         from rot_mvgaze_tpu.serving import MODEL_CONFIG_KEYS
 
-        cfg = {k: getattr(self.model, k) for k in MODEL_CONFIG_KEYS}
+        # getattr default False: see _load_checkpoint_variables
+        cfg = {k: getattr(self.model, k, False) for k in MODEL_CONFIG_KEYS}
         variables = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),
