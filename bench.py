@@ -93,6 +93,27 @@ def main() -> None:
     # stat reductions + their backward (an opt-in training-dynamics
     # deviation like the knobs above; measured in docs/PERF.md r4)
     freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
+    if freeze_bn:
+        # freeze_bn applies the model with train=False, so the train-mode-BN
+        # knobs never execute — a record combining them would attribute its
+        # number to a path that did not run. Fail loudly (CLI does the same).
+        inert = [
+            name
+            for name, on in (
+                ("BENCH_PALLAS_BN", pallas_bn_env != "0"),
+                ("BENCH_BN_STAT_SUBSAMPLE",
+                 int(os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")) > 1),
+                ("BENCH_FUSE_VIEWS",
+                 os.environ.get("BENCH_FUSE_VIEWS", "0") == "1"),
+            )
+            if on
+        ]
+        if inert:
+            raise SystemExit(
+                f"BENCH_FREEZE_BN=1 runs eval-mode normalization; these "
+                f"train-mode-BN options would be silently inert: "
+                f"{', '.join(inert)}"
+            )
     metrics = IterationLoss(
         loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
     )

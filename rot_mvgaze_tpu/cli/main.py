@@ -94,7 +94,9 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "added V-view model/dataset (models/multiview.py: "
                         "each view fuses the MEAN of the others rotated "
                         "into its frame; reduces exactly to the stereo "
-                        "model at V=2, stereo checkpoints load at any V). "
+                        "model at V=2 in eval mode — training merges BN "
+                        "stats across views like --fuse_views — and stereo "
+                        "checkpoints load at any V). "
                         "Stereo-only options (grad_accum, "
                         "spatial_partition, encode_rotmat, share_feature, "
                         "pallas paths, fuse_views) are rejected")
@@ -353,7 +355,11 @@ def build_experiment(config: SimpleNamespace):
     n_procs = jax.process_count()
     ga = max(int(getattr(config, "grad_accum", 1) or 1), 1)
     sp = max(int(getattr(config, "spatial_partition", 1) or 1), 1)
-    nv = max(int(getattr(config, "num_views", 2) or 2), 2)
+    nv = int(getattr(config, "num_views", 2) or 2)
+    if nv < 2:
+        # clamping silently would build the stereo stack while the Trainer
+        # logs throughput with the literal (wrong) view count
+        raise SystemExit(f"--num_views must be >= 2, got {nv}")
     if nv > 2:
         # V-view mode composes with DP/multi-host/freeze_bn/remat; the
         # stereo-only options below would be silently inert or wrong —
@@ -370,11 +376,34 @@ def build_experiment(config: SimpleNamespace):
             ("--bn_stat_subsample > 1",
              int(getattr(config, "bn_stat_subsample", 1) or 1) > 1),
             ("--fuse_views", getattr(config, "fuse_views", False)),
+            # the V-view index is its own seeded draw; the reference's
+            # frozen stereo pairing has no V>2 counterpart to replay
+            ("--pairing rng",
+             getattr(config, "pairing", "reference") != "reference"),
         ]
         bad = [flag for flag, on in unsupported if on]
         if bad:
             raise SystemExit(
                 f"--num_views {nv} does not support: {', '.join(bad)}"
+            )
+    if getattr(config, "freeze_bn", False):
+        # freeze_bn normalizes with RUNNING stats (train=False apply), so
+        # every train-mode-BN knob below never executes — refuse instead of
+        # letting a bench/train run attribute results to a path that did
+        # not run (same policy as the model's unconstructible combos)
+        inert = [
+            ("--use_pallas_bn", bool(getattr(config, "use_pallas_bn",
+                                             False))),
+            ("--bn_stat_subsample > 1",
+             int(getattr(config, "bn_stat_subsample", 1) or 1) > 1),
+            ("--fuse_views", getattr(config, "fuse_views", False)),
+        ]
+        bad = [flag for flag, on in inert if on]
+        if bad:
+            raise SystemExit(
+                f"--freeze_bn uses running-stat (eval-mode) normalization; "
+                f"these train-mode-BN options would be silently inert: "
+                f"{', '.join(bad)}"
             )
     if sp > 1 and not (getattr(config, "dp", True) and jax.device_count() > 1):
         raise SystemExit(

@@ -54,6 +54,17 @@ class MultiViewGazeDataset(GazeDataset):
         self.idx_to_kv = build_multiview_index(
             self.file_sizes, camera_tag, n_views=self.n_views, seed=seed
         )
+        if not self.idx_to_kv:
+            # build_multiview_index already rejects n_views > split size;
+            # this catches corpora whose every frame is truncated below
+            # n_views rows — training 0 steps/epoch and a NaN eval mean
+            # must not happen silently.
+            raise ValueError(
+                f"n_views={self.n_views} left no usable frame in "
+                f"{dataset_name!r} (camera_tag={camera_tag!r}, "
+                f"{len(self.file_sizes)} files): every frame has fewer "
+                f"than {self.n_views} valid rows"
+            )
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         key, idxs = self.idx_to_kv[index]

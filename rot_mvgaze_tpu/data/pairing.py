@@ -41,6 +41,23 @@ CAMERA_TAGS: Dict[str, List[int]] = {
 PairIndex = List[Tuple[int, int, int]]  # (file_idx, idx, partner_idx)
 
 
+def _iter_frame_candidates(n, cameras, num_cameras):
+    """Yield ``(idx, candidates)`` for every in-split row of an ``n``-row
+    file: ``candidates`` are the OTHER in-split rows of the same frame
+    (the shared scan of the "rng"-mode builders; the reference-replay
+    builder keeps its own literal mirror of the reference loop).
+    """
+    valid_set = {i for i in range(n) if (i % num_cameras) in cameras}
+    for idx in sorted(valid_set):
+        frame_start = (idx // num_cameras) * num_cameras
+        candidates = [
+            i
+            for i in range(frame_start, frame_start + num_cameras)
+            if i in valid_set and i != idx
+        ]
+        yield idx, candidates
+
+
 def build_pair_index(
     file_sizes: Sequence[int],
     camera_tag: str = "all",
@@ -58,17 +75,7 @@ def build_pair_index(
     rng = np.random.default_rng(seed)
     index: PairIndex = []
     for file_i, n in enumerate(file_sizes):
-        valid = np.array(
-            [i for i in range(n) if (i % num_cameras) in cameras], dtype=np.int64
-        )
-        valid_set = set(valid.tolist())
-        for idx in valid.tolist():
-            frame_start = (idx // num_cameras) * num_cameras
-            candidates = [
-                i
-                for i in range(frame_start, frame_start + num_cameras)
-                if i in valid_set and i != idx and i < n
-            ]
+        for idx, candidates in _iter_frame_candidates(n, cameras, num_cameras):
             if candidates:
                 idx_b = int(candidates[rng.integers(len(candidates))])
                 index.append((file_i, idx, idx_b))
@@ -192,27 +199,28 @@ def build_multiview_index(
     (the stereo builders draw exactly one — /root/reference/dataset/
     gaze.py:60-73 has no V>2 counterpart, this is framework-added for
     ``models.multiview.FeatRotationMultiView``). Rows whose frame has fewer
-    than ``n_views - 1`` other valid cameras are SKIPPED, mirroring the
-    stereo builders' skip of partner-less rows. Sampled once at
+    than ``n_views - 1`` other valid cameras (a short final file) are
+    SKIPPED, mirroring the stereo builders' skip of partner-less rows — but
+    an ``n_views`` that NO frame of the split can ever satisfy (more views
+    than in-split cameras) is a configuration error and raises, so e.g.
+    ``--num_views 7`` against the 6-camera ``novel_test`` split refuses
+    loudly instead of training/evaluating an empty dataset. Sampled once at
     construction with a dedicated ``numpy.random.Generator(seed)`` (the
     "rng" pairing mode's determinism contract).
     """
     if n_views < 2:
         raise ValueError(f"n_views must be >= 2, got {n_views}")
     cameras = set(CAMERA_TAGS[camera_tag])
+    if n_views > len(cameras):
+        raise ValueError(
+            f"n_views={n_views} exceeds the {len(cameras)} cameras of the "
+            f"{camera_tag!r} split — every frame would be skipped and the "
+            f"dataset would be empty"
+        )
     rng = np.random.default_rng(seed)
     index: MultiViewIndex = []
     for file_i, n in enumerate(file_sizes):
-        valid_set = {
-            i for i in range(n) if (i % num_cameras) in cameras
-        }
-        for idx in sorted(valid_set):
-            frame_start = (idx // num_cameras) * num_cameras
-            candidates = [
-                i
-                for i in range(frame_start, frame_start + num_cameras)
-                if i in valid_set and i != idx and i < n
-            ]
+        for idx, candidates in _iter_frame_candidates(n, cameras, num_cameras):
             if len(candidates) >= n_views - 1:
                 partners = rng.choice(
                     np.asarray(candidates, dtype=np.int64),

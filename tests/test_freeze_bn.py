@@ -206,3 +206,45 @@ class TestFreezeBNTrainer:
             ),
         )
         assert "--freeze_bn without" not in capsys.readouterr().out
+
+
+class TestFreezeBNInertCombos:
+    """freeze_bn applies the model with train=False, so every train-mode-BN
+    knob is inert with it — both surfaces (CLI, bench env) must refuse."""
+
+    def test_cli_rejects_train_mode_bn_knobs(self, tmp_path):
+        from rot_mvgaze_tpu.cli.main import build_experiment, get_parser
+
+        base = [
+            "--mode", "train", "--exp_name", "mpiinv_known",
+            "--output_dir", str(tmp_path / "logs"),
+            "--freeze_bn", "true",
+        ]
+        for extra, marker in (
+            (["--use_pallas_bn", "true"], "use_pallas_bn"),
+            (["--bn_stat_subsample", "4"], "bn_stat_subsample"),
+            (["--fuse_views", "true"], "fuse_views"),
+        ):
+            args = get_parser().parse_args(base + extra)
+            with pytest.raises(SystemExit, match=marker):
+                build_experiment(args)
+
+    def test_bench_env_rejects_train_mode_bn_knobs(self):
+        import os
+        import subprocess
+        import sys
+
+        proj = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            BENCH_FREEZE_BN="1",
+            BENCH_FUSE_VIEWS="1",
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.join(proj, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=300, cwd=proj,
+        )
+        assert proc.returncode != 0
+        assert "BENCH_FUSE_VIEWS" in proc.stderr
+        assert '"metric"' not in proc.stdout  # no record emitted

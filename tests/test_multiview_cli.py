@@ -76,6 +76,27 @@ class TestMultiViewCLI:
             build_experiment(
                 _args(tmp_path, data_path, "--share_feature", "true")
             )
+        # --pairing is stereo-protocol-only: the V-view index is its own
+        # seeded draw, so a non-default pairing mode must refuse loudly
+        # instead of being silently ignored
+        with pytest.raises(SystemExit, match="pairing"):
+            build_experiment(_args(tmp_path, data_path, "--pairing", "rng"))
+
+    def test_num_views_below_two_rejected(self, tmp_path):
+        data_path = _make_corpus(tmp_path)
+        args = _args(tmp_path, data_path)
+        args.num_views = 1  # would silently build stereo but log imgs/s /2
+        with pytest.raises(SystemExit, match="num_views"):
+            build_experiment(args)
+
+    def test_exceeding_split_cameras_rejected(self, tmp_path):
+        # novel split: 6 test cameras; V=7 can never be satisfied -> the
+        # index builder raises instead of producing an empty test set
+        data_path = _make_corpus(tmp_path)
+        args = _args(tmp_path, data_path)
+        args.exp_name, args.num_views = "mpiinv_novel", 7
+        with pytest.raises(ValueError, match="cameras"):
+            build_experiment(args)
 
     def test_native_loader_falls_back_to_h5(self, tmp_path, capsys):
         data_path = _make_corpus(tmp_path)

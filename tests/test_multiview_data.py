@@ -41,9 +41,21 @@ class TestMultiViewIndex:
         for _f, views in idx:
             assert all((v % 18) in cams for v in views)
 
-    def test_insufficient_candidates_skips(self):
-        # novel_test has 6 valid cameras per frame; V=8 needs 7 partners
-        assert build_multiview_index([36], "novel_test", n_views=8) == []
+    def test_impossible_n_views_raises(self):
+        # novel_test has 6 valid cameras per frame; V=8 needs 7 partners —
+        # NO frame can ever satisfy it, so this is a configuration error
+        # (an empty dataset would train 0 steps and eval to NaN silently)
+        with pytest.raises(ValueError, match="6 cameras"):
+            build_multiview_index([36], "novel_test", n_views=8)
+
+    def test_truncated_frames_skipped_not_fatal(self):
+        # 6-camera split at V=6 is exactly satisfiable on full frames; the
+        # truncated final frame (rows 36..39 hold only camera 2 of the
+        # split) is skipped, mirroring the stereo builders' partner-less
+        # skip — a SHORT file is data, not a configuration error
+        idx = build_multiview_index([40], "novel_test", n_views=6, seed=0)
+        assert len(idx) == 2 * 6  # two full frames only
+        assert all(max(views) < 36 for _f, views in idx)
 
     def test_deterministic_per_seed(self):
         a = build_multiview_index([54], "all", n_views=3, seed=7)
@@ -88,6 +100,20 @@ class TestMultiViewDataset:
                     sample["gt_gazes"][v], f["face_gaze"][row]
                 )
         ds.close()
+
+    def test_empty_index_raises(self, tmp_path):
+        # every frame truncated below n_views rows -> zero usable samples;
+        # must refuse at construction, not NaN at eval
+        root = tmp_path / "tiny"
+        root.mkdir()
+        with h5py.File(str(root / "s00.h5"), "w") as f:
+            f["face_patch"] = np.zeros((2, 32, 32, 3), np.uint8)
+            f["face_gaze"] = np.zeros((2, 2), np.float32)
+            f["face_head_pose"] = np.zeros((2, 2), np.float32)
+        with pytest.raises(ValueError, match="no usable frame"):
+            MultiViewGazeDataset(
+                "xgaze", str(root), "rgb", ["s00.h5"], n_views=3, seed=0
+            )
 
     def test_batchloader_collation(self, corpus):
         ds = MultiViewGazeDataset(
