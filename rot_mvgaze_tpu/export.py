@@ -37,8 +37,17 @@ from rot_mvgaze_tpu.serving import make_serving_forward
 
 
 def _abstract_batch(
-    micro_batch: int, image_size: int
+    micro_batch: int, image_size: int, num_views: Optional[int] = None
 ) -> Tuple[jax.ShapeDtypeStruct, ...]:
+    if num_views is not None:
+        # stacked V-view request: imgs (B,V,H,W,3) uint8 + poses (B,V,2)
+        img = jax.ShapeDtypeStruct(
+            (micro_batch, num_views, image_size, image_size, 3), jnp.uint8
+        )
+        pose = jax.ShapeDtypeStruct(
+            (micro_batch, num_views, 2), jnp.float32
+        )
+        return img, pose
     img = jax.ShapeDtypeStruct(
         (micro_batch, image_size, image_size, 3), jnp.uint8
     )
@@ -53,12 +62,17 @@ def export_serving_artifact(
     micro_batch: int = 64,
     image_size: int = 224,
     platforms: Optional[Sequence[str]] = None,
+    num_views: Optional[int] = None,
 ) -> "jax_export.Exported":
     """Trace + serialize the serving forward; returns the Exported object.
 
     ``variables`` supplies only the pytree STRUCTURE and dtypes (values are
     not baked in); pass the checkpoint you intend to serve or a fresh
     ``model.init`` result of the same architecture.
+
+    A ``FeatRotationMultiView`` model exports the stacked V-view forward
+    (``imgs (B,V,H,W,3)`` + ``head_poses (B,V,2)``); ``num_views`` is then
+    required — V is part of the artifact's fixed shape.
     """
     if "quant" in variables or getattr(model, "int8_backbone", False) == "static":
         raise ValueError(
@@ -67,7 +81,25 @@ def export_serving_artifact(
             "reconstruct. Export the dynamic int8 graph (int8=True) or "
             "bf16/f32 instead."
         )
-    fwd = jax.jit(make_serving_forward(model, image_size))
+    from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
+
+    is_multiview = isinstance(model, FeatRotationMultiView)
+    if is_multiview:
+        if num_views is None or num_views < 2:
+            raise ValueError(
+                "exporting a FeatRotationMultiView needs num_views >= 2 "
+                "(V is part of the artifact's fixed request shape)"
+            )
+        from rot_mvgaze_tpu.serving import make_multiview_serving_forward
+
+        fwd = jax.jit(make_multiview_serving_forward(model, image_size))
+    elif num_views is not None:
+        raise ValueError(
+            "num_views applies only to FeatRotationMultiView exports; the "
+            "two-view model's request shape is fixed"
+        )
+    else:
+        fwd = jax.jit(make_serving_forward(model, image_size))
     var_avals = jax.tree.map(
         # .dtype/.shape attributes only — no host<->device copies of weights
         lambda x: jax.ShapeDtypeStruct(
@@ -77,7 +109,7 @@ def export_serving_artifact(
         variables,
     )
     exported = jax_export.export(fwd, platforms=platforms)(
-        var_avals, *_abstract_batch(micro_batch, image_size)
+        var_avals, *_abstract_batch(micro_batch, image_size, num_views)
     )
     blob = exported.serialize()
     path = os.path.abspath(path)
@@ -96,6 +128,8 @@ def export_serving_artifact(
         if hasattr(model, k)
     }
     meta.update(micro_batch=micro_batch, image_size=image_size)
+    if is_multiview:
+        meta["num_views"] = num_views
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=1)
     return exported
@@ -116,10 +150,22 @@ class AotGazePredictor:
 
     def __init__(self, artifact_path: str, checkpoint: str) -> None:
         self.exported = load_serving_artifact(artifact_path)
-        # in_avals: (variables-pytree leaves..., img_0, img_1, pose_0, pose_1)
-        img_aval = self.exported.in_avals[-4]
+        # Trailing request avals: stereo = (img_0, img_1, pose_0, pose_1)
+        # with a rank-2 (B, 2) final pose; multiview = (imgs, head_poses)
+        # with a rank-3 (B, V, 2) final pose. The rank disambiguates without
+        # needing the sidecar.
+        pose_aval = self.exported.in_avals[-1]
+        self.num_views = None
+        if len(pose_aval.shape) == 3:
+            self.n_request = 2
+            img_aval = self.exported.in_avals[-2]
+            self.num_views = int(img_aval.shape[1])
+            self.image_size = int(img_aval.shape[2])
+        else:
+            self.n_request = 4
+            img_aval = self.exported.in_avals[-4]
+            self.image_size = int(img_aval.shape[1])
         self.micro_batch = int(img_aval.shape[0])
-        self.image_size = int(img_aval.shape[1])
         if checkpoint.endswith((".pth", ".pth.tar", ".pt")):
             # reference checkpoint: the exporter's metadata sidecar carries
             # the architecture needed for conversion
@@ -139,6 +185,10 @@ class AotGazePredictor:
                 )
             with open(sidecar) as f:
                 meta = json.load(f)
+            # Multiview artifacts convert through the STEREO model: the
+            # V-view param tree is the stereo tree by construction
+            # (models/multiview.py), and its sidecar omits the stereo-only
+            # ablation keys (-> their False defaults here).
             model = FeatRotationSymm(
                 **{k: meta[k] for k in MODEL_CONFIG_KEYS if k in meta}
             )
@@ -156,9 +206,10 @@ class AotGazePredictor:
         # structural mismatch instead).
         leaves, treedef = jax.tree.flatten(self.variables)
         var_avals = self.exported.in_avals[: len(leaves)]
-        if len(self.exported.in_avals) != len(leaves) + 4:
+        if len(self.exported.in_avals) != len(leaves) + self.n_request:
             raise ValueError(
-                f"artifact expects {len(self.exported.in_avals) - 4} "
+                f"artifact expects "
+                f"{len(self.exported.in_avals) - self.n_request} "
                 f"variable leaves, checkpoint has {len(leaves)} — wrong "
                 "checkpoint for this artifact?"
             )
@@ -174,28 +225,37 @@ class AotGazePredictor:
         self.variables = jax.tree.unflatten(treedef, leaves)
         self._call = jax.jit(self.exported.call)
 
-    def predict(
-        self,
-        img_0: np.ndarray,
-        img_1: np.ndarray,
-        head_pose_0: np.ndarray,
-        head_pose_1: np.ndarray,
-    ) -> np.ndarray:
+    def predict(self, *args: np.ndarray) -> np.ndarray:
+        """Stereo artifacts: ``predict(img_0, img_1, head_pose_0,
+        head_pose_1)``. Multiview artifacts: ``predict(imgs, head_poses)``
+        with stacked ``(N, V, H, W, 3)`` / ``(N, V, 2)`` inputs."""
         from rot_mvgaze_tpu.utils.padding import iter_padded_microbatches
 
-        n = int(img_0.shape[0])
+        if len(args) != self.n_request:
+            kind = (
+                f"{self.num_views}-view (imgs, head_poses)"
+                if self.num_views
+                else "two-view (img_0, img_1, head_pose_0, head_pose_1)"
+            )
+            raise ValueError(
+                f"this artifact serves {kind} requests: predict takes "
+                f"{self.n_request} arrays, got {len(args)}"
+            )
+        n = int(args[0].shape[0])
         if n == 0:
             return np.zeros((0, 2), np.float32)
         outs = []
-        for (i0, i1, h0, h1), bs in iter_padded_microbatches(
-            (img_0, img_1, head_pose_0, head_pose_1), self.micro_batch
+        for padded, bs in iter_padded_microbatches(
+            tuple(args), self.micro_batch
         ):
             pred = self._call(
                 self.variables,
-                i0,
-                i1,
-                h0.astype(np.float32),
-                h1.astype(np.float32),
+                *(
+                    a
+                    if np.asarray(a).dtype == np.uint8
+                    else np.asarray(a, np.float32)
+                    for a in padded
+                ),
             )
             outs.append(np.asarray(pred)[:bs])
         return np.concatenate(outs, axis=0)

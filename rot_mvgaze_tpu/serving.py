@@ -12,6 +12,14 @@ provides a compiled, fixed-shape predictor:
 - optional data-parallel serving over a ``jax.sharding.Mesh``: the
   micro-batch shards across chips (params replicated), scaling serving
   throughput linearly over ICI.
+
+Two predictor classes share the machinery (micro-batching, mesh placement,
+int8 calibration, warmup): :class:`GazePredictor` serves the reference's
+two-view ``FeatRotationSymm`` (all ablation paths), and
+:class:`MultiViewGazePredictor` serves the V-view generalization
+(``models.multiview.FeatRotationMultiView``) on stacked ``(N, V, H, W, 3)``
+requests — any stereo checkpoint loads at any V (the param trees are
+identical by construction).
 """
 
 from __future__ import annotations
@@ -92,6 +100,50 @@ def _validate_views(
     return n
 
 
+def _validate_stacked_views(
+    imgs: np.ndarray,
+    head_poses: np.ndarray,
+    num_views: int,
+    image_size: "int | None" = None,
+) -> int:
+    """Validate a stacked V-view request; returns the batch size N.
+
+    Same contract as :func:`_validate_views` (uint8-only pixels, agreeing
+    batch dims, optional exact resolution) over the stacked layout the
+    V-view model consumes: ``imgs (N, V, H, W, 3) uint8`` +
+    ``head_poses (N, V, 2)``. V is part of the compiled executable's shape,
+    so a request at the wrong view count is a client error, not a reshape.
+    """
+    a = np.asarray(imgs)
+    if a.ndim != 5 or a.shape[-1] != 3:
+        raise ValueError(
+            f"imgs must be (N, {num_views}, H, W, 3) uint8, got {a.shape}"
+        )
+    if a.shape[1] != num_views:
+        raise ValueError(
+            f"this server runs a {num_views}-view model; imgs has "
+            f"{a.shape[1]} views (shape {a.shape})"
+        )
+    if a.dtype != np.uint8:
+        raise ValueError(
+            f"imgs must be uint8 (raw pixels; normalization runs on device — "
+            f"float input would be /255'd a second time), got {a.dtype}"
+        )
+    n = int(a.shape[0])
+    if image_size is not None and a.shape[2:4] != (image_size, image_size):
+        raise ValueError(
+            f"imgs must be (N, {num_views}, {image_size}, {image_size}, 3) — "
+            f"the server compiles one fixed-shape executable; got {a.shape}. "
+            f"Resize client-side or run a server at this resolution."
+        )
+    if np.shape(head_poses) != (n, num_views, 2):
+        raise ValueError(
+            f"head_poses must be ({n}, {num_views}, 2), got "
+            f"{np.shape(head_poses)}"
+        )
+    return n
+
+
 def load_variables_for_model(path: str, model: Any) -> Dict[str, Any]:
     """Load serving variables from a native msgpack checkpoint or a
     reference ``.pth.tar`` (converted using the model's config)."""
@@ -101,7 +153,10 @@ def load_variables_for_model(path: str, model: Any) -> Dict[str, Any]:
             load_torch_state_dict,
         )
 
-        cfg = {k: getattr(model, k) for k in MODEL_CONFIG_KEYS}
+        # FeatRotationMultiView omits the two stereo-only ablation fields
+        # (encode_rotmat / share_feature); its param tree is the stereo tree,
+        # so conversion runs with those paths off
+        cfg = {k: getattr(model, k, False) for k in MODEL_CONFIG_KEYS}
         converted = convert_rot_mv_state_dict(
             load_torch_state_dict(path), **cfg
         )
@@ -175,8 +230,63 @@ def make_calibration_forward(
     return forward
 
 
+def _multiview_data(imgs, head_poses, image_size: int):
+    """Shared preprocessing for the V-view serving/calibration forwards:
+    stacked uint8 views -> normalized float views + SO(3) rotations.
+
+    All ``N*V`` images preprocess as ONE batch (the eval path is per-row
+    deterministic, so row order is irrelevant), mirroring the V-view train
+    step (train.multiview_steps); ``rotation_matrix_2d`` is trailing-axis,
+    so the view axis rides along."""
+    B, V = imgs.shape[0], imgs.shape[1]
+    flat = imgs.reshape((B * V,) + imgs.shape[2:])
+    proc = eval_preprocess(flat, image_size)
+    return {
+        "imgs": proc.reshape((B, V) + proc.shape[1:]),
+        "rots": rotation_matrix_2d(head_poses.astype(jnp.float32)),
+    }
+
+
+def make_multiview_serving_forward(model: Any, image_size: int = 224):
+    """Pure V-view serving forward: ``(variables, imgs (N,V,H,W,3) uint8,
+    head_poses (N,V,2)) -> (N, 2) float32 pitchyaw`` (the reference metric's
+    view-0 head of the last iteration). Shared by the live
+    :class:`MultiViewGazePredictor` and the AOT exporter."""
+
+    def forward(variables, imgs, head_poses):
+        data = _multiview_data(imgs, head_poses, image_size)
+        out = model.apply(variables, data, train=False)
+        return out["pred_gaze"].astype(jnp.float32)
+
+    return forward
+
+
+def make_multiview_calibration_forward(model: Any, image_size: int = 224):
+    """Calibration twin of :func:`make_multiview_serving_forward` (see
+    :func:`make_calibration_forward` for the static-int8 contract)."""
+
+    def forward(variables, imgs, head_poses):
+        data = _multiview_data(imgs, head_poses, image_size)
+        out, updates = model.apply(
+            variables, data, train=False, mutable=["quant"]
+        )
+        return out["pred_gaze"].astype(jnp.float32), updates["quant"]
+
+    return forward
+
+
 class GazePredictor:
-    """Compiled two-view gaze predictor over a FeatRotationSymm checkpoint."""
+    """Compiled two-view gaze predictor over a FeatRotationSymm checkpoint.
+
+    The per-model pieces (model construction, serving/calibration forwards,
+    request validation, init/noise inputs) are overridable hooks so the
+    V-view :class:`MultiViewGazePredictor` reuses the full serving machinery
+    (micro-batching, mesh placement, static-int8 calibration, warmup).
+    """
+
+    #: request field names, in ``predict``'s positional order (the HTTP
+    #: server and BatchingPredictor address requests by these)
+    request_fields = ("img_0", "img_1", "head_pose_0", "head_pose_1")
 
     def __init__(
         self,
@@ -206,7 +316,83 @@ class GazePredictor:
             use_pallas_fusion=use_pallas_fusion,
             int8_backbone=int8,
         )
+        self._init_serving(
+            checkpoint, micro_batch, image_size, int8, calibration_path, mesh
+        )
+
+    # -------------------------------------------------- per-model hooks
+    def _apply_mesh_model(self, mesh: Any, image_size: int) -> Any:
+        """Adapt ``self.model`` to the mesh; returns the in-graph image
+        sharding constraint (spatial meshes only) or None."""
+        from rot_mvgaze_tpu.parallel.mesh import (
+            image_sharding,
+            spatial_size,
+            with_spatial_floor,
+        )
+
+        sp = spatial_size(mesh)
+        if sp > 1 and image_size % sp:
+            # uneven height shards start at the STEM and reach the
+            # <2-valid-row regime the floor exists to forbid — reject
+            # here (the public constructor), not just in scripts/serve
+            raise ValueError(
+                f"image_size {image_size} is not divisible by the "
+                f"mesh's spatial axis ({sp}); pick an even split"
+            )
+        # backbone gathers the height axis once feature maps get too
+        # small to shard (models/resnet.py spatial_unshard)
+        self.model = with_spatial_floor(self.model, mesh)
+        return image_sharding(mesh) if sp > 1 else None
+
+    def _make_forward(self, constraint: Any):
+        return make_serving_forward(
+            self.model, self.image_size, image_sharding=constraint
+        )
+
+    def _make_calibration(self, constraint: Any):
+        return make_calibration_forward(
+            self.model, self.image_size, image_sharding=constraint
+        )
+
+    def _init_data(self) -> Dict[str, Any]:
+        """Minimal model-input dict for shape inference (``eval_shape``)."""
+        s = self.image_size
+        return {
+            "img_0": jnp.zeros((1, s, s, 3)),
+            "img_1": jnp.zeros((1, s, s, 3)),
+            "rot_0": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+            "rot_1": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+        }
+
+    def _noise_request(self) -> Tuple[np.ndarray, ...]:
+        """One throwaway request (n=1) for :meth:`warmup`."""
+        rng = np.random.default_rng(0)
+        s = self.image_size
+        return (
+            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
+            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
+            np.zeros((1, 2), np.float32),
+            np.zeros((1, 2), np.float32),
+        )
+
+    def validate_request(
+        self, *args: np.ndarray, image_size: "int | None" = None
+    ) -> int:
+        """Validate a request tuple (``request_fields`` order); returns N."""
+        return _validate_views(*args, image_size=image_size)
+
+    # -------------------------------------------------- shared machinery
+    def _init_serving(
+        self,
+        checkpoint: str,
+        micro_batch: int,
+        image_size: int,
+        int8: Any,
+        calibration_path: "str | None",
+        mesh: Any,
+    ) -> None:
         self.mesh = mesh
+        self.image_size = image_size
         self._batch_sharding = None
         self._image_sharding = None
         _constraint = None  # in-graph re-pin, spatial meshes only
@@ -215,35 +401,20 @@ class GazePredictor:
                 batch_sharding,
                 dp_size,
                 image_sharding,
-                spatial_size,
-                with_spatial_floor,
             )
 
-            sp = spatial_size(mesh)
-            if sp > 1 and image_size % sp:
-                # uneven height shards start at the STEM and reach the
-                # <2-valid-row regime the floor exists to forbid — reject
-                # here (the public constructor), not just in scripts/serve
-                raise ValueError(
-                    f"image_size {image_size} is not divisible by the "
-                    f"mesh's spatial axis ({sp}); pick an even split"
-                )
-            # backbone gathers the height axis once feature maps get too
-            # small to shard (models/resnet.py spatial_unshard)
-            self.model = with_spatial_floor(self.model, mesh)
+            _constraint = self._apply_mesh_model(mesh, image_size)
             # round the executable's batch up to a DATA-axis multiple (a
             # 2-D mesh's 'spatial' axis shards height, not rows — spatial
             # partitioning exists exactly so one request can use N chips)
             n_dev = dp_size(mesh)
             micro_batch = -(-micro_batch // n_dev) * n_dev
             self._batch_sharding = batch_sharding(mesh)
-            # rank-4 image args additionally shard height over 'spatial'
-            # on a 2-D mesh (GSPMD conv halo exchange)
+            # rank>=4 image args additionally shard height over 'spatial'
+            # on a 2-D mesh (GSPMD conv halo exchange); on a 1-D mesh this
+            # equals batch_sharding, so it is rank-agnostic
             self._image_sharding = image_sharding(mesh)
-            if sp > 1:
-                _constraint = self._image_sharding
         self.micro_batch = micro_batch
-        self.image_size = image_size
         self.variables = self._load(checkpoint)
         # static-int8: materialize a zeroed `quant` collection (activation
         # ranges); filled by calibrate() / auto-calibration on the first
@@ -262,12 +433,7 @@ class GazePredictor:
         # anyway; this guards direct multi-threaded GazePredictor use)
         self._calib_lock = threading.Lock()
         if self._int8_static:
-            dummy = {
-                "img_0": jnp.zeros((1, image_size, image_size, 3)),
-                "img_1": jnp.zeros((1, image_size, image_size, 3)),
-                "rot_0": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
-                "rot_1": jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
-            }
+            dummy = self._init_data()
             shapes = jax.eval_shape(
                 lambda: self.model.init(
                     {"params": jax.random.PRNGKey(0)}, dummy
@@ -279,11 +445,7 @@ class GazePredictor:
                     lambda a: jnp.zeros(a.shape, a.dtype), shapes["quant"]
                 ),
             }
-            self._calib = jax.jit(
-                make_calibration_forward(
-                    self.model, self.image_size, image_sharding=_constraint
-                )
-            )
+            self._calib = jax.jit(self._make_calibration(_constraint))
             # Persistable calibration: load previously saved activation
             # ranges if the file exists; otherwise auto-save there once the
             # first calibration completes (a restarted server then skips
@@ -301,11 +463,7 @@ class GazePredictor:
             self.variables = jax.device_put(
                 self.variables, replicated_sharding(mesh)
             )
-        self._forward = jax.jit(
-            make_serving_forward(
-                self.model, self.image_size, image_sharding=_constraint
-            )
-        )
+        self._forward = jax.jit(self._make_forward(_constraint))
 
     def _load(self, path: str) -> Dict[str, Any]:
         return load_variables_for_model(path, self.model)
@@ -324,7 +482,15 @@ class GazePredictor:
         other than ``image_size`` are accepted (resized on device) but each
         distinct resolution compiles its own executable.
         """
-        n = _validate_views(img_0, img_1, head_pose_0, head_pose_1)
+        n = self.validate_request(img_0, img_1, head_pose_0, head_pose_1)
+        return self._predict_request(
+            (img_0, img_1, head_pose_0, head_pose_1), n
+        )
+
+    def _predict_request(
+        self, args: Tuple[np.ndarray, ...], n: int
+    ) -> np.ndarray:
+        """Shared post-validation predict path (auto-calibration aware)."""
         if n == 0:
             return np.zeros((0, 2), np.float32)
         ran_calib = self._int8_static and not self._calibrated
@@ -339,9 +505,7 @@ class GazePredictor:
                 f"stable scales.",
                 stacklevel=2,
             )
-        out = self._predict(
-            img_0, img_1, head_pose_0, head_pose_1, force_calib=ran_calib
-        )
+        out = self._predict(*args, force_calib=ran_calib)
         # persist REAL-data calibration only (warmup noise calibration goes
         # through _predict directly and is never saved)
         if ran_calib and getattr(self, "_calibration_path", None) is not None:
@@ -349,27 +513,28 @@ class GazePredictor:
         return out
 
     def _predict(
-        self,
-        img_0: np.ndarray,
-        img_1: np.ndarray,
-        head_pose_0: np.ndarray,
-        head_pose_1: np.ndarray,
-        force_calib: bool = False,
+        self, *request: np.ndarray, force_calib: bool = False
     ) -> np.ndarray:
         from rot_mvgaze_tpu.utils.padding import iter_padded_microbatches
 
         use_calib = force_calib
         outs = []
-        for (i0, i1, h0, h1), bs in iter_padded_microbatches(
-            (img_0, img_1, head_pose_0, head_pose_1), self.micro_batch
+        for padded, bs in iter_padded_microbatches(
+            tuple(request), self.micro_batch
         ):
-            args = (i0, i1, h0.astype(np.float32), h1.astype(np.float32))
+            # pixels stay uint8 (normalized on device); every other field
+            # (head poses) is float32 in the compiled signature
+            args = tuple(
+                a if np.asarray(a).dtype == np.uint8
+                else np.asarray(a, np.float32)
+                for a in padded
+            )
             if self._batch_sharding is not None:
                 args = tuple(
                     jax.device_put(
                         a,
                         self._image_sharding
-                        if getattr(a, "ndim", 0) == 4
+                        if getattr(a, "ndim", 0) >= 4
                         else self._batch_sharding,
                     )
                     for a in args
@@ -400,12 +565,15 @@ class GazePredictor:
         calibration pass for ITS data regardless of concurrent predicts.
         Returns the (dynamically quantized, valid) predictions for the
         calibration data."""
+        return self._calibrate_request(
+            (img_0, img_1, head_pose_0, head_pose_1)
+        )
+
+    def _calibrate_request(self, args: Tuple[np.ndarray, ...]) -> np.ndarray:
         if not self._int8_static:
             raise RuntimeError("calibrate() requires int8='static'")
-        _validate_views(img_0, img_1, head_pose_0, head_pose_1)
-        out = self._predict(
-            img_0, img_1, head_pose_0, head_pose_1, force_calib=True
-        )
+        self.validate_request(*args)
+        out = self._predict(*args, force_calib=True)
         if getattr(self, "_calibration_path", None) is not None:
             self.save_calibration(self._calibration_path)
         return out
@@ -421,14 +589,7 @@ class GazePredictor:
         scales for the life of the process). The first real request (or an
         explicit :meth:`calibrate`) then calibrates from scratch.
         """
-        rng = np.random.default_rng(0)
-        s = self.image_size
-        noise = (
-            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
-            rng.integers(0, 256, (1, s, s, 3), dtype=np.uint8),
-            np.zeros((1, 2), np.float32),
-            np.zeros((1, 2), np.float32),
-        )
+        noise = self._noise_request()
         if self._int8_static and not self._calibrated:
             self._predict(*noise, force_calib=True)   # calibration graph
             self._predict(*noise, force_calib=False)  # frozen graph
@@ -485,6 +646,121 @@ class GazePredictor:
             self._calibrated = False
 
 
+class MultiViewGazePredictor(GazePredictor):
+    """Compiled V-view gaze predictor (``models.multiview``).
+
+    Requests are stacked: ``imgs (N, V, H, W, 3) uint8`` +
+    ``head_poses (N, V, 2)`` -> ``(N, 2)`` float32 pitchyaw (the reference
+    metric's view-0 head of the last iteration). V is static (part of the
+    compiled executable). Any stereo checkpoint — native msgpack or a
+    converted reference ``.pth.tar`` — loads at any V: the V-view param tree
+    is the stereo tree by construction (models/multiview.py).
+
+    Supports the same serving machinery as :class:`GazePredictor`:
+    micro-batching with padding, data-parallel meshes, bf16/f32/int8
+    (dynamic and calibrated-static). Spatial meshes are rejected — the
+    V-view path is DP-only, matching the training CLI
+    (rot_mvgaze_tpu/cli/main.py ``--num_views`` support matrix). The
+    ``encode_rotmat``/``share_feature`` ablations have no V-view counterpart
+    and are refused by the model itself.
+    """
+
+    request_fields = ("imgs", "head_poses")
+
+    def __init__(
+        self,
+        checkpoint: str,
+        num_views: int,
+        backbone_depth: int = 50,
+        num_iter: int = 3,
+        share_weights: bool = False,
+        ignore_rotmat: bool = False,
+        micro_batch: int = 64,
+        image_size: int = 224,
+        dtype: Any = jnp.bfloat16,
+        int8: bool = False,
+        calibration_path: "str | None" = None,
+        mesh: Any = None,
+    ) -> None:
+        from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
+
+        if num_views < 2:
+            raise ValueError(f"num_views must be >= 2, got {num_views}")
+        self.num_views = num_views
+        self.model = FeatRotationMultiView(
+            backbone_depth=backbone_depth,
+            num_iter=num_iter,
+            share_weights=share_weights,
+            ignore_rotmat=ignore_rotmat,
+            dtype=dtype,
+            int8_backbone=int8,
+        )
+        self._init_serving(
+            checkpoint, micro_batch, image_size, int8, calibration_path, mesh
+        )
+
+    # -------------------------------------------------- per-model hooks
+    def _apply_mesh_model(self, mesh: Any, image_size: int) -> Any:
+        from rot_mvgaze_tpu.parallel.mesh import spatial_size
+
+        if spatial_size(mesh) > 1:
+            raise ValueError(
+                "MultiViewGazePredictor does not support spatial meshes "
+                "(the V-view path is DP-only, matching the training CLI); "
+                "use a 1-D data mesh"
+            )
+        return None
+
+    def _make_forward(self, constraint: Any):
+        return make_multiview_serving_forward(self.model, self.image_size)
+
+    def _make_calibration(self, constraint: Any):
+        return make_multiview_calibration_forward(self.model, self.image_size)
+
+    def _init_data(self) -> Dict[str, Any]:
+        s, v = self.image_size, self.num_views
+        return {
+            "imgs": jnp.zeros((1, v, s, s, 3)),
+            "rots": jnp.broadcast_to(jnp.eye(3), (1, v, 3, 3)),
+        }
+
+    def _noise_request(self) -> Tuple[np.ndarray, ...]:
+        rng = np.random.default_rng(0)
+        s, v = self.image_size, self.num_views
+        return (
+            rng.integers(0, 256, (1, v, s, s, 3), dtype=np.uint8),
+            np.zeros((1, v, 2), np.float32),
+        )
+
+    def validate_request(
+        self, *args: np.ndarray, image_size: "int | None" = None
+    ) -> int:
+        return _validate_stacked_views(
+            *args, num_views=self.num_views, image_size=image_size
+        )
+
+    # -------------------------------------------------- public API
+    def predict(
+        self, imgs: np.ndarray, head_poses: np.ndarray
+    ) -> np.ndarray:
+        """(N,V,H,W,3) uint8 + (N,V,2) head poses -> (N,2) pitchyaw.
+
+        Any N: requests are served in fixed micro-batches (last one padded),
+        so only one executable is ever compiled. Images at a resolution
+        other than ``image_size`` are accepted (resized on device) but each
+        distinct resolution compiles its own executable.
+        """
+        n = self.validate_request(imgs, head_poses)
+        return self._predict_request((imgs, head_poses), n)
+
+    def calibrate(
+        self, imgs: np.ndarray, head_poses: np.ndarray
+    ) -> np.ndarray:
+        """static-int8 calibration on stacked V-view data; see
+        :meth:`GazePredictor.calibrate` for the contract."""
+        return self._calibrate_request((imgs, head_poses))
+
+
 class BatchingPredictor:
     """Dynamic request coalescing in front of a :class:`GazePredictor`.
 
@@ -498,43 +774,44 @@ class BatchingPredictor:
     - ``max_delay_ms``: how long the dispatcher waits to fill a batch before
       flushing a partial one (latency bound under low load).
     - Thread-safe; any number of caller threads.
+
+    Works in front of any predictor exposing the ``request_fields`` /
+    ``validate_request`` protocol (both :class:`GazePredictor` and
+    :class:`MultiViewGazePredictor`); ``predict`` takes positional arrays
+    in ``request_fields`` order, all concatenating on the batch axis.
     """
 
     def __init__(self, predictor: GazePredictor, max_delay_ms: float = 2.0):
         self.predictor = predictor
+        self.request_fields = predictor.request_fields
+        self.image_size = predictor.image_size
         self.max_delay = max_delay_ms / 1e3
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
-        self._queue: List[Tuple[dict, "threading.Event", dict, int]] = []
+        self._queue: List[Tuple[tuple, "threading.Event", dict, int]] = []
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def predict(
-        self,
-        img_0: np.ndarray,
-        img_1: np.ndarray,
-        head_pose_0: np.ndarray,
-        head_pose_1: np.ndarray,
-    ) -> np.ndarray:
-        req = {
-            "img_0": np.asarray(img_0),
-            "img_1": np.asarray(img_1),
-            "head_pose_0": np.asarray(head_pose_0, np.float32),
-            "head_pose_1": np.asarray(head_pose_1, np.float32),
-        }
+    def predict(self, *args: np.ndarray) -> np.ndarray:
+        if len(args) != len(self.request_fields):
+            raise ValueError(
+                f"predict takes {len(self.request_fields)} arrays "
+                f"({', '.join(self.request_fields)}), got {len(args)}"
+            )
+        # pixels stay uint8 (validated below); every other field is float32
+        req = tuple(
+            a if a.dtype == np.uint8 else np.asarray(a, np.float32)
+            for a in map(np.asarray, args)
+        )
         # Validate BEFORE enqueueing: one malformed request must fail in its
         # own calling thread, never poison a coalesced batch of strangers.
         # Resolution is pinned to the predictor's image_size here (unlike
         # direct GazePredictor use): an off-size request would recompile a
         # fresh executable INSIDE the single dispatcher thread, stalling
         # every coalesced caller behind it.
-        n = _validate_views(
-            req["img_0"],
-            req["img_1"],
-            req["head_pose_0"],
-            req["head_pose_1"],
-            image_size=self.predictor.image_size,
+        n = self.predictor.validate_request(
+            *req, image_size=self.predictor.image_size
         )
         if n == 0:
             return np.zeros((0, 2), np.float32)
@@ -575,21 +852,22 @@ class BatchingPredictor:
                     if remaining <= 0:
                         break
                     self._cv.wait(timeout=remaining)
-                # coalesce only shape-compatible requests (BOTH views' H, W
-                # — an img_1 mismatch would poison the shared concatenate):
-                # the rest stay queued for the next dispatch round
+                # coalesce only shape-compatible requests (EVERY field's
+                # trailing dims — a single-view mismatch would poison the
+                # shared concatenate): the rest stay queued for the next
+                # dispatch round
                 def shape_key(r):
-                    return (r[0]["img_0"].shape[1:], r[0]["img_1"].shape[1:])
+                    return tuple(a.shape[1:] for a in r[0])
 
                 key = shape_key(self._queue[0])
                 batch = [r for r in self._queue if shape_key(r) == key]
                 self._queue = [r for r in self._queue if shape_key(r) != key]
             try:
                 pred = self.predictor.predict(
-                    np.concatenate([r[0]["img_0"] for r in batch]),
-                    np.concatenate([r[0]["img_1"] for r in batch]),
-                    np.concatenate([r[0]["head_pose_0"] for r in batch]),
-                    np.concatenate([r[0]["head_pose_1"] for r in batch]),
+                    *(
+                        np.concatenate([r[0][i] for r in batch])
+                        for i in range(len(self.request_fields))
+                    )
                 )
                 start = 0
                 for _, done, out, n in batch:

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                         "(default: current backend)")
     p.add_argument("--backbone_depth", type=int, default=50)
     p.add_argument("--num_iter", type=int, default=3)
+    p.add_argument("--num_views", type=int, default=2,
+                   help="export the V-view model (V > 2): the artifact's "
+                        "request is stacked imgs (B,V,H,W,3) + head_poses "
+                        "(B,V,2). Stereo checkpoints load at any V")
     p.add_argument("--share_weights", action="store_true")
     p.add_argument("--encode_rotmat", action="store_true")
     p.add_argument("--share_feature", action="store_true")
@@ -48,21 +52,42 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from rot_mvgaze_tpu.export import export_serving_artifact
-    from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.serving import GazePredictor, MultiViewGazePredictor
 
-    predictor = GazePredictor(
-        args.ckpt,
-        backbone_depth=args.backbone_depth,
-        num_iter=args.num_iter,
-        share_weights=args.share_weights,
-        encode_rotmat=args.encode_rotmat,
-        share_feature=args.share_feature,
-        ignore_rotmat=args.ignore_rotmat,
-        micro_batch=args.micro_batch,
-        image_size=args.image_size,
-        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        int8=args.int8,
-    )
+    if args.num_views < 2:
+        raise SystemExit(f"--num_views must be >= 2, got {args.num_views}")
+    if args.num_views > 2:
+        if args.encode_rotmat or args.share_feature:
+            raise SystemExit(
+                f"--num_views {args.num_views} does not support "
+                "--encode_rotmat / --share_feature (stereo-only ablations)"
+            )
+        predictor = MultiViewGazePredictor(
+            args.ckpt,
+            num_views=args.num_views,
+            backbone_depth=args.backbone_depth,
+            num_iter=args.num_iter,
+            share_weights=args.share_weights,
+            ignore_rotmat=args.ignore_rotmat,
+            micro_batch=args.micro_batch,
+            image_size=args.image_size,
+            dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            int8=args.int8,
+        )
+    else:
+        predictor = GazePredictor(
+            args.ckpt,
+            backbone_depth=args.backbone_depth,
+            num_iter=args.num_iter,
+            share_weights=args.share_weights,
+            encode_rotmat=args.encode_rotmat,
+            share_feature=args.share_feature,
+            ignore_rotmat=args.ignore_rotmat,
+            micro_batch=args.micro_batch,
+            image_size=args.image_size,
+            dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            int8=args.int8,
+        )
     # strip: a natural "tpu, cpu" must not produce the platform name " cpu"
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()] or None
     exported = export_serving_artifact(
@@ -72,6 +97,7 @@ def main(argv=None) -> int:
         micro_batch=args.micro_batch,
         image_size=args.image_size,
         platforms=platforms,
+        num_views=args.num_views if args.num_views > 2 else None,
     )
     print(
         f"exported {args.out} ({os.path.getsize(args.out)} bytes), "

@@ -14,6 +14,11 @@ API:
                            head_pose_0, head_pose_1 (N,2 float32)
                            -> npz with pred_gaze (N,2 float32 pitchyaw)
 
+With --num_views V (V > 2) the server runs the V-view model
+(rot_mvgaze_tpu.models.multiview) and /predict instead takes npz fields
+imgs (N,V,H,W,3 uint8) + head_poses (N,V,2 float32). Stereo checkpoints
+load at any V (identical param trees).
+
 Client example:
     buf = io.BytesIO(); np.savez(buf, img_0=..., img_1=..., head_pose_0=...,
                                   head_pose_1=...)
@@ -96,11 +101,11 @@ def build_handler(predictor, stats):
                     return
                 data = np.load(io.BytesIO(self.rfile.read(length)))
                 t0 = time.perf_counter()
+                # field names come from the predictor (stereo:
+                # img_0/img_1/head_pose_0/head_pose_1; V-view:
+                # imgs/head_poses)
                 pred = predictor.predict(
-                    data["img_0"],
-                    data["img_1"],
-                    data["head_pose_0"],
-                    data["head_pose_1"],
+                    *(data[f] for f in predictor.request_fields)
                 )
                 dt = time.perf_counter() - t0
                 with lock:
@@ -137,6 +142,22 @@ def main() -> int:
     p.add_argument("--num_iter", type=int, default=3)
     p.add_argument("--micro_batch", type=int, default=64)
     p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--num_views", type=int, default=2,
+                   help="serve the V-view model (V > 2): /predict takes "
+                        "stacked imgs (N,V,H,W,3) + head_poses (N,V,2). "
+                        "Stereo checkpoints load at any V")
+    p.add_argument("--share_weights", action="store_true",
+                   help="the share_weights ablation (one fuser/head reused "
+                        "across iterations) — must match the checkpoint")
+    p.add_argument("--ignore_rotmat", action="store_true",
+                   help="the ignore_rotmat ablation (no rotation "
+                        "constraint) — must match the checkpoint")
+    p.add_argument("--encode_rotmat", action="store_true",
+                   help="the encode_rotmat ablation — must match the "
+                        "checkpoint (two-view only)")
+    p.add_argument("--share_feature", action="store_true",
+                   help="the share_feature ablation — must match the "
+                        "checkpoint (two-view only)")
     p.add_argument("--f32", action="store_true", help="float32 compute")
     p.add_argument("--int8", action="store_true",
                    help="int8 MXU backbone convs with dynamic activation "
@@ -164,8 +185,28 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from rot_mvgaze_tpu.serving import GazePredictor
+    from rot_mvgaze_tpu.serving import GazePredictor, MultiViewGazePredictor
     from rot_mvgaze_tpu.utils.cache import enable_compile_cache
+
+    if args.num_views < 2:
+        raise SystemExit(f"--num_views must be >= 2, got {args.num_views}")
+    if args.num_views > 2:
+        # same support matrix as the training CLI (--num_views there):
+        # spatial partitioning and the two stereo-only ablations are refused
+        bad = [
+            flag
+            for flag, on in (
+                ("--spatial_partition > 1", args.spatial_partition > 1),
+                ("--encode_rotmat", args.encode_rotmat),
+                ("--share_feature", args.share_feature),
+            )
+            if on
+        ]
+        if bad:
+            raise SystemExit(
+                f"--num_views {args.num_views} does not support: "
+                f"{', '.join(bad)}"
+            )
 
     # persistent executable cache: server restarts skip the multi-minute
     # tunnel compile entirely
@@ -193,10 +234,11 @@ def main() -> int:
             f"(have {jax.device_count()})"
         )
 
-    predictor = GazePredictor(
-        args.ckpt,
+    common = dict(
         backbone_depth=args.backbone_depth,
         num_iter=args.num_iter,
+        share_weights=args.share_weights,
+        ignore_rotmat=args.ignore_rotmat,
         micro_batch=args.micro_batch,
         image_size=args.image_size,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
@@ -204,6 +246,17 @@ def main() -> int:
         calibration_path=args.calibration,
         mesh=mesh,
     )
+    if args.num_views > 2:
+        predictor = MultiViewGazePredictor(
+            args.ckpt, num_views=args.num_views, **common
+        )
+    else:
+        predictor = GazePredictor(
+            args.ckpt,
+            encode_rotmat=args.encode_rotmat,
+            share_feature=args.share_feature,
+            **common,
+        )
     # compile every executable before accepting traffic (static-int8: both
     # the calibration and frozen graphs, noise calibration discarded)
     predictor.warmup()
