@@ -248,11 +248,15 @@ class AotGazePredictor:
         for padded, bs in iter_padded_microbatches(
             tuple(args), self.micro_batch
         ):
+            # images (the rank>=4 fields) stay uint8; poses cast to float32
+            # regardless of their incoming dtype — the exported avals are
+            # exact, so e.g. a uint8 pose would otherwise be a deep
+            # jax.export aval-mismatch error instead of being served
             pred = self._call(
                 self.variables,
                 *(
                     a
-                    if np.asarray(a).dtype == np.uint8
+                    if np.asarray(a).ndim >= 4
                     else np.asarray(a, np.float32)
                     for a in padded
                 ),

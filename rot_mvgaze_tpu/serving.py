@@ -517,15 +517,23 @@ class GazePredictor:
     ) -> np.ndarray:
         from rot_mvgaze_tpu.utils.padding import iter_padded_microbatches
 
+        if int(np.shape(request[0])[0]) == 0:
+            # zero micro-batches would run: never mark the predictor
+            # calibrated off an empty pass (all-zero frozen scales)
+            return np.zeros((0, 2), np.float32)
         use_calib = force_calib
         outs = []
         for padded, bs in iter_padded_microbatches(
             tuple(request), self.micro_batch
         ):
             # pixels stay uint8 (normalized on device); every other field
-            # (head poses) is float32 in the compiled signature
+            # (head poses) is float32 in the compiled signature. Keyed on
+            # RANK (images are the rank>=4 fields), not dtype: a uint8 pose
+            # array must still be cast — unsigned arithmetic would wrap its
+            # negated pitch inside the traced forward, and the odd dtype
+            # would compile a second executable.
             args = tuple(
-                a if np.asarray(a).dtype == np.uint8
+                a if np.asarray(a).ndim >= 4
                 else np.asarray(a, np.float32)
                 for a in padded
             )
@@ -572,7 +580,14 @@ class GazePredictor:
     def _calibrate_request(self, args: Tuple[np.ndarray, ...]) -> np.ndarray:
         if not self._int8_static:
             raise RuntimeError("calibrate() requires int8='static'")
-        self.validate_request(*args)
+        n = self.validate_request(*args)
+        if n == 0:
+            # zero samples record zero ranges; silently marking the
+            # predictor calibrated would freeze all-zero scales for the
+            # life of the process
+            raise ValueError(
+                "calibrate() needs at least 1 sample (got an empty batch)"
+            )
         out = self._predict(*args, force_calib=True)
         if getattr(self, "_calibration_path", None) is not None:
             self.save_calibration(self._calibration_path)
@@ -784,7 +799,6 @@ class BatchingPredictor:
     def __init__(self, predictor: GazePredictor, max_delay_ms: float = 2.0):
         self.predictor = predictor
         self.request_fields = predictor.request_fields
-        self.image_size = predictor.image_size
         self.max_delay = max_delay_ms / 1e3
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
@@ -799,19 +813,23 @@ class BatchingPredictor:
                 f"predict takes {len(self.request_fields)} arrays "
                 f"({', '.join(self.request_fields)}), got {len(args)}"
             )
-        # pixels stay uint8 (validated below); every other field is float32
-        req = tuple(
-            a if a.dtype == np.uint8 else np.asarray(a, np.float32)
-            for a in map(np.asarray, args)
-        )
-        # Validate BEFORE enqueueing: one malformed request must fail in its
-        # own calling thread, never poison a coalesced batch of strangers.
-        # Resolution is pinned to the predictor's image_size here (unlike
-        # direct GazePredictor use): an off-size request would recompile a
-        # fresh executable INSIDE the single dispatcher thread, stalling
-        # every coalesced caller behind it.
+        # Validate the RAW arrays BEFORE enqueueing (and before any dtype
+        # coercion — a rejection must name the dtype the client actually
+        # sent, and a large malformed batch must not be copied just to be
+        # refused): one malformed request fails in its own calling thread,
+        # never poisoning a coalesced batch of strangers. Resolution is
+        # pinned to the predictor's image_size here (unlike direct
+        # GazePredictor use): an off-size request would recompile a fresh
+        # executable INSIDE the single dispatcher thread, stalling every
+        # coalesced caller behind it.
+        raw = tuple(map(np.asarray, args))
         n = self.predictor.validate_request(
-            *req, image_size=self.predictor.image_size
+            *raw, image_size=self.predictor.image_size
+        )
+        # pixels stay uint8 (just validated); every other (rank<4) field is
+        # float32 — coalesced batches must share one compiled signature
+        req = tuple(
+            a if a.ndim >= 4 else np.asarray(a, np.float32) for a in raw
         )
         if n == 0:
             return np.zeros((0, 2), np.float32)

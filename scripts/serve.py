@@ -39,13 +39,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-# request-body cap: generous for batch-256 224^2 2-view uint8 (~80 MB)
+# request-body cap PER VIEW PAIR: generous for batch-256 224^2 2-view uint8
+# (~80 MB). Scaled by ceil(V/2) at server startup so V-view serving
+# (--num_views) admits the same per-view batch sizes as stereo.
 MAX_BODY_BYTES = 256 * 1024 * 1024
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_handler(predictor, stats):
+def build_handler(predictor, stats, max_body_bytes=MAX_BODY_BYTES):
     # ThreadingHTTPServer handles requests concurrently: predictor is a
     # BatchingPredictor (thread-safe — concurrent requests coalesce into
     # shared micro-batches on one dispatcher thread); the lock guards the
@@ -90,12 +92,12 @@ def build_handler(predictor, stats):
                 # Cap the body BEFORE reading: the declared length (and a
                 # zip-bomb npz, decompressed in full by np.load) would
                 # otherwise allocate unboundedly ahead of any validation.
-                if length > MAX_BODY_BYTES:
+                if length > max_body_bytes:
                     self._reply(
                         413,
                         json.dumps({
                             "error": f"request body {length} bytes exceeds "
-                                     f"limit {MAX_BODY_BYTES}"
+                                     f"limit {max_body_bytes}"
                         }).encode(),
                     )
                     return
@@ -264,7 +266,13 @@ def main() -> int:
 
     predictor = BatchingPredictor(predictor, max_delay_ms=args.coalesce_ms)
     stats = {"requests": 0, "samples": 0, "time": 0.0}
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), build_handler(predictor, stats))
+    # body cap is sized per view pair; a V-view request carries ceil(V/2)x
+    # the pixels of a stereo one at the same batch size
+    max_body = MAX_BODY_BYTES * max(1, (args.num_views + 1) // 2)
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.port),
+        build_handler(predictor, stats, max_body_bytes=max_body),
+    )
     print(f"serving on :{args.port} (micro_batch={args.micro_batch})", flush=True)
     server.serve_forever()
     return 0

@@ -141,3 +141,27 @@ def test_static_int8_export_rejected(tmp_path, small_model_and_vars):
             {**variables, "quant": {}},
             str(tmp_path / "y.stablehlo"), micro_batch=MB, image_size=SIZE,
         )
+
+
+def test_aot_predictor_accepts_uint8_head_poses(tmp_path, small_model_and_vars):
+    """Pose coercion is keyed on RANK, not dtype (r4 review batch 11): a
+    uint8 pose must be cast to float32 before exported.call — the exported
+    avals are exact, so it would otherwise raise a deep jax.export
+    aval-mismatch error on a request the live predictor serves fine."""
+    model, variables = small_model_and_vars
+    artifact = str(tmp_path / "serving.stablehlo")
+    ckpt = str(tmp_path / "model.msgpack")
+    export_serving_artifact(
+        model, variables, artifact, micro_batch=MB, image_size=SIZE
+    )
+    save_state(ckpt, dict(variables))
+    predictor = AotGazePredictor(artifact, ckpt)
+    img0, img1, _, _ = _request(MB, seed=2)
+    hp_u8 = np.zeros((MB, 2), np.uint8)
+    hp_u8[:, 0] = 1  # would wrap to 255 under unsigned negation
+    np.testing.assert_allclose(
+        predictor.predict(img0, img1, hp_u8, hp_u8),
+        predictor.predict(img0, img1, hp_u8.astype(np.float32),
+                          hp_u8.astype(np.float32)),
+        atol=1e-6,
+    )

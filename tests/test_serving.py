@@ -303,3 +303,75 @@ def test_calibration_path_requires_static_int8(ckpt_path):
             ckpt_path, backbone_depth=18, num_iter=1, image_size=32,
             int8=True, calibration_path="ranges.msgpack",
         )
+
+
+def test_uint8_head_poses_cast_to_float32(ckpt_path):
+    """Pose dtype coercion is keyed on RANK, not dtype (r4 review batch 11):
+    a uint8 pose array must reach the compiled forward as float32 — unsigned
+    arithmetic would wrap its negated pitch (1 -> 255) inside
+    rotation_matrix_2d, producing silently wrong rotations, and the odd
+    dtype would compile a second executable inside the dispatcher thread."""
+    pred = GazePredictor(
+        ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+        image_size=32, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(3)
+    img0 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    img1 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    hp_u8 = np.array([[1, 0], [0, 1]], np.uint8)  # wraps to 255 if negated
+    hp_f32 = hp_u8.astype(np.float32)
+    np.testing.assert_allclose(
+        pred.predict(img0, img1, hp_u8, hp_u8),
+        pred.predict(img0, img1, hp_f32, hp_f32),
+        atol=1e-6,
+    )
+
+
+def test_calibrate_empty_batch_raises_without_freezing(ckpt_path):
+    """calibrate() on an empty batch used to mark the predictor calibrated
+    BEFORE crashing in np.concatenate, freezing all-zero activation ranges
+    for the life of the process (r4 review batch 11). Now: loud error,
+    calibration state untouched, the next real request auto-calibrates."""
+    pred = GazePredictor(
+        ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+        image_size=32, dtype=jnp.float32, int8="static",
+    )
+    img = np.zeros((0, 32, 32, 3), np.uint8)
+    hp = np.zeros((0, 2), np.float32)
+    with pytest.raises(ValueError, match="at least 1 sample"):
+        pred.calibrate(img, img, hp, hp)
+    assert not pred._calibrated
+    rng = np.random.default_rng(4)
+    full = (
+        rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8),
+        rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8),
+        rng.uniform(-0.5, 0.5, (4, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, (4, 2)).astype(np.float32),
+    )
+    out = pred.predict(*full)  # auto-calibrates from real data
+    assert pred._calibrated
+    assert out.shape == (4, 2) and np.all(np.isfinite(out))
+    # the frozen scales are real, not the zeroed placeholder: a quant leaf
+    # recorded a non-zero activation range
+    ranges = jax.tree.leaves(pred.variables["quant"])
+    assert any(float(jnp.max(jnp.abs(r))) > 0 for r in ranges)
+
+
+def test_batching_predictor_error_names_client_dtype(ckpt_path):
+    """The rejection must name the dtype the client actually sent: a
+    pre-validation float32 cast used to report float64 images as float32,
+    sending the client debugging the wrong conversion (r4 review batch 11)."""
+    from rot_mvgaze_tpu.serving import BatchingPredictor
+
+    inner = GazePredictor(
+        ckpt_path, backbone_depth=18, num_iter=1, micro_batch=4,
+        image_size=32, dtype=jnp.float32,
+    )
+    bp = BatchingPredictor(inner, max_delay_ms=5.0)
+    try:
+        bad = np.zeros((1, 32, 32, 3), np.float64)
+        hp = np.zeros((1, 2), np.float32)
+        with pytest.raises(ValueError, match="float64"):
+            bp.predict(bad, bad, hp, hp)
+    finally:
+        bp.close()
