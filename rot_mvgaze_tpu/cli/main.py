@@ -144,6 +144,13 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                         "also deletes the per-step BN stat reductions "
                         "(~15%% of step time, docs/PERF.md). OFF by default "
                         "so training dynamics match the reference")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="exponential moving average of the weights, updated "
+                        "inside the jitted step (ema <- d*ema + (1-d)*params "
+                        "after each optimizer update). Eval, --export_torch "
+                        "and serving/export then use the EMA weights; "
+                        "checkpoints carry both trees. 0 disables (default; "
+                        "reference parity). Typical: 0.999-0.9999")
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint) for larger per-chip batches")
@@ -405,6 +412,11 @@ def build_experiment(config: SimpleNamespace):
                 f"these train-mode-BN options would be silently inert: "
                 f"{', '.join(bad)}"
             )
+    ema = float(getattr(config, "ema_decay", 0.0) or 0.0)
+    if not 0.0 <= ema < 1.0:
+        # Trainer validates too; failing at the parser keeps the error
+        # pre-compile and names the flag
+        raise SystemExit(f"--ema_decay must be in [0, 1), got {ema}")
     if sp > 1 and not (getattr(config, "dp", True) and jax.device_count() > 1):
         raise SystemExit(
             f"--spatial_partition {sp} needs the mesh path: --dp true and "

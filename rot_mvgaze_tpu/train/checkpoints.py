@@ -75,9 +75,18 @@ def variables_from_tree(
     tree: Any, template: Dict[str, Any], source: str = "checkpoint"
 ) -> Dict[str, Any]:
     """Model variables from a parsed checkpoint tree (full TrainState or
-    bare ``{'params'[, 'batch_stats']}``)."""
+    bare ``{'params'[, 'batch_stats']}``).
+
+    A checkpoint trained with ``--ema_decay`` carries an ``ema_params``
+    sibling tree; weight-only consumers (serving, AOT export, evaluate,
+    warm starts) get THOSE — the EMA weights are what ``Trainer.test``
+    scores and what you deploy. Full-state resume restores both trees
+    separately and is unaffected."""
     if "params" not in tree:
         raise ValueError(f"{source} has no 'params': {list(tree)}")
+    if tree.get("ema_params") is not None:
+        print(f"{source}: using EMA weights (trained with --ema_decay)")
+        tree = {**tree, "params": tree["ema_params"]}
     if not tree.get("batch_stats") and template.get("batch_stats"):
         # Silently substituting init-time BN statistics (mean=0, var=1)
         # would make eval-mode forwards garbage with no warning — the

@@ -24,6 +24,7 @@ import optax
 from rot_mvgaze_tpu.augment.ops import eval_preprocess, train_preprocess
 from rot_mvgaze_tpu.geometry import rotation_matrix_2d
 from rot_mvgaze_tpu.geometry.gaze import angular_error as angular_error_jnp
+from rot_mvgaze_tpu.train.steps import update_ema
 
 
 def prepare_multiview_rotations(batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -51,11 +52,13 @@ def make_multiview_train_step(
     fold_key_by_step: bool = False,
     augment: bool = True,
     freeze_bn: bool = False,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Returns ``(state, batch, key) -> (state, stats)`` — see
     steps.make_train_step for the shared semantics (fold_key_by_step,
-    freeze_bn, augment). All ``B*V`` views augment as one call with
-    per-row independent randomness (train_preprocess vmaps per sample)."""
+    freeze_bn, augment, ema_decay). All ``B*V`` views augment as one call
+    with per-row independent randomness (train_preprocess vmaps per
+    sample)."""
     from rot_mvgaze_tpu.train.trainer import TrainState
 
     aug_dtype = getattr(model, "dtype", jnp.float32)
@@ -99,11 +102,13 @@ def make_multiview_train_step(
         updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params
         )
+        new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1,
-            params=optax.apply_updates(state.params, updates),
+            params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            ema_params=update_ema(state.ema_params, new_params, ema_decay),
         )
         stats = {"loss_gaze": loss, "error_gaze": error}
         if schedule is not None:

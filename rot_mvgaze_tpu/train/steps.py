@@ -48,6 +48,24 @@ def augment_views(
     }
 
 
+def update_ema(ema_params: Any, new_params: Any, ema_decay: float) -> Any:
+    """One EMA step: ``d*ema + (1-d)*params`` leafwise (identity when
+    disabled). Shared by the stereo and V-view train steps."""
+    if not ema_decay:
+        return ema_params  # None (or an untouched tree) passes through
+    if ema_params is None:
+        raise ValueError(
+            "ema_decay > 0 requires state.ema_params to be initialized "
+            "(a params-shaped tree); the Trainer seeds it with the initial "
+            "params"
+        )
+    return jax.tree.map(
+        lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+        ema_params,
+        new_params,
+    )
+
+
 def make_train_step(
     model: Any,
     metrics: Callable[[Dict[str, Any]], jnp.ndarray],
@@ -61,6 +79,7 @@ def make_train_step(
     grad_accum: int = 1,
     image_sharding: Any = None,
     freeze_bn: bool = False,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Returns ``(state, batch, key) -> (state, stats)``.
 
@@ -86,6 +105,17 @@ def make_train_step(
     has no equivalent (its BN is always train-mode batch-stat,
     /root/reference/trainer.py:121-143); this is a framework-added option,
     OFF by default so training dynamics match the reference exactly.
+
+    ``ema_decay=d`` (0 < d < 1) maintains an exponential moving average of
+    the parameters in ``state.ema_params``: ``ema <- d*ema + (1-d)*params``
+    AFTER the optimizer update, entirely inside the jitted step — with the
+    state donated this is one fused multiply-add over the param tree per
+    step (no extra dispatch, no extra live buffers beyond the EMA tree
+    itself). ``state.ema_params`` must be a params-shaped tree (the Trainer
+    initializes it to a copy of the initial params, so no bias correction
+    is needed). 0 disables: ``ema_params`` passes through unchanged (None
+    stays None). Framework-added — the reference trains/evals raw weights
+    only; eval-side consumers prefer the EMA tree when present.
 
     ``image_sharding`` (a ``NamedSharding``, used with a 2-D ``(data,
     spatial)`` mesh) re-pins the augmented views to the sharded layout
@@ -205,6 +235,7 @@ def make_train_step(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            ema_params=update_ema(state.ema_params, new_params, ema_decay),
         )
         stats = {"loss_gaze": loss, "error_gaze": error}
         if schedule is not None:

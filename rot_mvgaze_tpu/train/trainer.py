@@ -47,6 +47,11 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Exponential moving average of ``params`` (``--ema_decay``, a
+    # framework-added option — the reference has none). None when disabled:
+    # None is an empty pytree node, so the default costs nothing and keeps
+    # every existing construction site/checkpoint layout valid.
+    ema_params: Any = None
 
 
 def make_optimizer(
@@ -90,6 +95,13 @@ class Trainer:
         # V-view mode (framework-added, models.multiview): >2 switches the
         # jitted steps and init shapes to the stacked (B, V, ...) contract.
         self._num_views = int(getattr(config, "num_views", 2) or 2)
+        # Parameter EMA (--ema_decay, framework-added; see steps.update_ema).
+        # 0 disables. Typical fine-tune values: 0.999-0.9999.
+        self._ema_decay = float(getattr(config, "ema_decay", 0.0) or 0.0)
+        if not 0.0 <= self._ema_decay < 1.0:
+            raise ValueError(
+                f"--ema_decay must be in [0, 1), got {self._ema_decay}"
+            )
 
         self.root_key = jax.random.PRNGKey(int(getattr(config, "seed", 0)))
 
@@ -199,6 +211,15 @@ class Trainer:
             batch_stats=init_variables.get("batch_stats", {}),
             opt_state=self.tx.init(init_variables["params"]),
         )
+        if self._ema_decay > 0:
+            # Seed the EMA at the starting weights (no bias correction
+            # needed). MUST be distinct buffers, not aliases: the train
+            # step donates the whole state, and donating the same buffer
+            # through both the params and ema_params leaves is a runtime
+            # error ("attempt to donate the same buffer twice").
+            self.state = self.state.replace(
+                ema_params=jax.tree.map(jnp.copy, self.state.params)
+            )
         # Full-state resume (optimizer moments + step) when the checkpoint
         # carries them — subsumes the reference's params-only restart
         # (/root/reference/trainer.py:45-48 drops optimizer/schedule state).
@@ -221,6 +242,37 @@ class Trainer:
                 tree.pop("epoch_meta", None) if isinstance(tree, dict) else None
             )
             if "opt_state" in tree:
+                # EMA key normalization: from_state_dict requires the key.
+                # Older checkpoints lack it; newer ones carry the EMA tree
+                # (or None). A TRAINING resume with --ema_decay 0 drops a
+                # stored EMA loudly (it would go stale, yet eval prefers
+                # it); test mode keeps it — the EMA weights are the
+                # deployment weights.
+                has_ema = tree.get("ema_params") is not None
+                training = getattr(config, "mode", "train") == "train"
+                if self._ema_decay > 0 and not has_ema:
+                    print(
+                        "checkpoint has no EMA weights; seeding the EMA "
+                        "from its params",
+                        flush=True,
+                    )
+                    # deep copy, not an alias: zero-copy numpy->device
+                    # transfers could otherwise hand the donated train step
+                    # the same buffer through both leaves (see __init__)
+                    tree["ema_params"] = jax.tree.map(
+                        np.copy, tree["params"]
+                    )
+                elif has_ema and self._ema_decay == 0 and training:
+                    print(
+                        "WARNING: checkpoint carries EMA weights but "
+                        "--ema_decay is 0; dropping them for this training "
+                        "run (pass --ema_decay to keep updating the "
+                        "average)",
+                        flush=True,
+                    )
+                    tree["ema_params"] = None
+                else:
+                    tree.setdefault("ema_params", None)
                 self.state = restore_state_from_tree(tree, self.state)
                 print(
                     f"restored full training state at step {int(self.state.step)}"
@@ -477,6 +529,7 @@ class Trainer:
                     with_images=True,
                     fold_key_by_step=True,
                     freeze_bn=freeze_bn,
+                    ema_decay=self._ema_decay,
                 ),
                 donate_argnums=(0,),
                 **jit_kwargs,
@@ -496,6 +549,7 @@ class Trainer:
                     grad_accum=grad_accum,
                     image_sharding=img_sharding,
                     freeze_bn=freeze_bn,
+                    ema_decay=self._ema_decay,
                 ),
                 donate_argnums=(0,),
                 **jit_kwargs,
@@ -828,11 +882,22 @@ class Trainer:
             return np.zeros((0,) + tuple(arr.shape[1:]), arr.dtype)
         return np.concatenate([np.asarray(s.data) for s in shards])
 
+    @property
+    def eval_params(self):
+        """Parameters every eval-side surface (test/test_breakdown/torch
+        export) scores: the EMA weights when present (--ema_decay — they are
+        the deployment weights), raw params otherwise. ``batch_stats`` are
+        shared either way (BN running stats are already their own EMA)."""
+        if self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
     def test(self, epoch: int) -> float:
         """Full-test-set mean angular error in degrees, float64 on host
         (parity: /root/reference/trainer.py:164-199). Multi-host: each host
         evaluates its input shard; per-host (sum, count) pairs are allgathered
-        and the global mean is identical on every host."""
+        and the global mean is identical on every host. Scores
+        ``self.eval_params`` — the EMA weights when --ema_decay is on."""
         assert self.test_loader is not None
         n_test = (
             self.test_loader.num_samples()
@@ -882,7 +947,7 @@ class Trainer:
                     else x,
                     batch,
                 )
-            out = self._eval_step(self.state.params, self.state.batch_stats, batch)
+            out = self._eval_step(self.eval_params, self.state.batch_stats, batch)
             pred_all[save_index : save_index + bs] = self._to_local_numpy(
                 out["pred_gaze"]
             )[:bs]
@@ -1165,8 +1230,10 @@ class Trainer:
         return path
 
     def export_torch_checkpoint(self, path: str) -> str:
-        """Export current params as a reference-format ``.pth.tar`` state
-        dict (interop: run our weights in the reference codebase)."""
+        """Export current weights as a reference-format ``.pth.tar`` state
+        dict (interop: run our weights in the reference codebase). Exports
+        ``eval_params`` — the EMA weights when --ema_decay is on, i.e. the
+        same weights ``test()`` scores."""
         import torch
 
         from rot_mvgaze_tpu.compat import flax_to_torch_state_dict
@@ -1176,7 +1243,7 @@ class Trainer:
         # getattr default False: see _load_checkpoint_variables
         cfg = {k: getattr(self.model, k, False) for k in MODEL_CONFIG_KEYS}
         variables = {
-            "params": jax.device_get(self.state.params),
+            "params": jax.device_get(self.eval_params),
             "batch_stats": jax.device_get(self.state.batch_stats),
         }
         # strict_compatible: the reference loads checkpoints with
