@@ -72,7 +72,10 @@ def restore_state_from_tree(tree: Any, template: Any) -> Any:
 
 
 def variables_from_tree(
-    tree: Any, template: Dict[str, Any], source: str = "checkpoint"
+    tree: Any,
+    template: Dict[str, Any],
+    source: str = "checkpoint",
+    prefer_ema: bool = True,
 ) -> Dict[str, Any]:
     """Model variables from a parsed checkpoint tree (full TrainState or
     bare ``{'params'[, 'batch_stats']}``).
@@ -80,12 +83,18 @@ def variables_from_tree(
     A checkpoint trained with ``--ema_decay`` carries an ``ema_params``
     sibling tree; weight-only consumers (serving, AOT export, evaluate,
     warm starts) get THOSE — the EMA weights are what ``Trainer.test``
-    scores and what you deploy. Full-state resume restores both trees
-    separately and is unaffected."""
+    scores and what you deploy; the raw params tree is skipped, and the
+    printed note says so. ``prefer_ema=False`` opts out (the Trainer uses
+    it when a full-state resume immediately follows, where this result is
+    only an optimizer-init template and a swap note would mislead)."""
     if "params" not in tree:
         raise ValueError(f"{source} has no 'params': {list(tree)}")
-    if tree.get("ema_params") is not None:
-        print(f"{source}: using EMA weights (trained with --ema_decay)")
+    if prefer_ema and tree.get("ema_params") is not None:
+        print(
+            f"{source}: using the EMA weights (ema_params, what "
+            "--ema_decay training evaluates/deploys); the raw params "
+            "tree is skipped"
+        )
         tree = {**tree, "params": tree["ema_params"]}
     if not tree.get("batch_stats") and template.get("batch_stats"):
         # Silently substituting init-time BN statistics (mean=0, var=1)

@@ -623,7 +623,15 @@ class Trainer:
             # instead of re-reading + re-deserializing the file
             self._resume_tree = tree
         return variables_from_tree(
-            tree, init_variables, source=f"checkpoint at {path}"
+            tree,
+            init_variables,
+            source=f"checkpoint at {path}",
+            # A full TrainState checkpoint is restored in whole right after
+            # this (params AND ema_params, __init__); swapping EMA into the
+            # throwaway optimizer-init template here would only print a
+            # misleading "using the EMA weights" for a training resume that
+            # in fact continues from the raw params.
+            prefer_ema="opt_state" not in tree,
         )
 
     # ------------------------------------------------------------------

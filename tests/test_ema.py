@@ -200,6 +200,20 @@ class TestVariablesFromTree:
             np.testing.assert_array_equal(v["params"]["w"], np.ones(2))
             assert "EMA" not in capsys.readouterr().out
 
+    def test_prefer_ema_false_keeps_raw_silently(self, capsys):
+        # the Trainer's full-state resume path: the result is only an
+        # optimizer-init template, so no swap and no note
+        from rot_mvgaze_tpu.train.checkpoints import variables_from_tree
+
+        tree = {
+            "params": {"w": np.ones(2)},
+            "ema_params": {"w": np.full(2, 3.0)},
+            "opt_state": {},
+        }
+        v = variables_from_tree(tree, {}, prefer_ema=False)
+        np.testing.assert_array_equal(v["params"]["w"], np.ones(2))
+        assert "EMA" not in capsys.readouterr().out
+
 
 class TestTrainerEMA:
     def _config(self, tmp_path, **overrides):
