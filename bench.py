@@ -63,32 +63,79 @@ def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "224"))
     depth = int(os.environ.get("BENCH_DEPTH", "50"))
     num_iter = int(os.environ.get("BENCH_ITERS", "3"))
+    # BENCH_NUM_VIEWS: V>2 benches the V-view generalization
+    # (FeatRotationMultiView over stacked (B,V,H,W,3) batches); 2 (default)
+    # is the stereo headline path. The image count per step is V*batch.
+    num_views = int(os.environ.get("BENCH_NUM_VIEWS", "2"))
+    if num_views < 2:
+        raise SystemExit(
+            f"BENCH_NUM_VIEWS must be >= 2 (got {num_views}); the model is "
+            "defined over at least one view pair"
+        )
+    multiview = num_views > 2
     # the headline metric and its A100 comparison are defined for the
-    # SHIPPED workload (R50, 3 fusion iters, 224^2); any override measures
-    # a different workload and must say so in the record
-    default_workload = (depth, num_iter, size) == (50, 3, 224)
+    # SHIPPED workload (R50, 3 fusion iters, 224^2, stereo); any override
+    # measures a different workload and must say so in the record
+    default_workload = (depth, num_iter, size, num_views) == (50, 3, 224, 2)
 
     pallas_bn_env = os.environ.get("BENCH_PALLAS_BN", "0")
-    model = FeatRotationSymm(
-        backbone_depth=depth,
-        num_iter=num_iter,
-        dtype=jnp.bfloat16,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        use_pallas_fusion=os.environ.get("BENCH_PALLAS_FUSION", "0") == "1",
-        # "1" = all BNs via Pallas (r1, negative); "residual" = tail BNs only
-        use_pallas_bn=(
-            True if pallas_bn_env == "1"
-            else "residual" if pallas_bn_env == "residual"
-            else False
-        ),
-        # ghost-stat BN experiment (docs/PERF.md r3): stats from every k-th
-        # batch row; 1 = exact reference semantics (shipped default)
-        bn_stat_subsample=int(os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")),
-        # both views through the backbone as ONE 256-image batch (merges
-        # the per-view BN train stats — opt-in deviation; r1 measured
-        # neutral, re-measured r3 after the bf16-aug/key-folding changes)
-        fuse_views=os.environ.get("BENCH_FUSE_VIEWS", "0") == "1",
-    )
+    if multiview:
+        # stereo-model-only knobs: FeatRotationMultiView has no Pallas
+        # rotate+concat+GEMM fusion / Pallas-BN / ghost-stat / fuse_views
+        # fields — a record combining them with V>2 would attribute its
+        # number to a path that does not exist (CLI rejects the same way)
+        stereo_only = [
+            name
+            for name, on in (
+                ("BENCH_PALLAS_FUSION",
+                 os.environ.get("BENCH_PALLAS_FUSION", "0") == "1"),
+                ("BENCH_PALLAS_BN", pallas_bn_env != "0"),
+                ("BENCH_BN_STAT_SUBSAMPLE",
+                 int(os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")) > 1),
+                ("BENCH_FUSE_VIEWS",
+                 os.environ.get("BENCH_FUSE_VIEWS", "0") == "1"),
+            )
+            if on
+        ]
+        if stereo_only:
+            raise SystemExit(
+                f"BENCH_NUM_VIEWS={num_views} uses FeatRotationMultiView, "
+                f"which has no such options: {', '.join(stereo_only)}"
+            )
+        from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
+
+        model = FeatRotationMultiView(
+            backbone_depth=depth,
+            num_iter=num_iter,
+            dtype=jnp.bfloat16,
+            remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        )
+    else:
+        model = FeatRotationSymm(
+            backbone_depth=depth,
+            num_iter=num_iter,
+            dtype=jnp.bfloat16,
+            remat=os.environ.get("BENCH_REMAT", "0") == "1",
+            use_pallas_fusion=(
+                os.environ.get("BENCH_PALLAS_FUSION", "0") == "1"
+            ),
+            # "1" = all BNs via Pallas (r1, negative); "residual" = tail
+            # BNs only
+            use_pallas_bn=(
+                True if pallas_bn_env == "1"
+                else "residual" if pallas_bn_env == "residual"
+                else False
+            ),
+            # ghost-stat BN experiment (docs/PERF.md r3): stats from every
+            # k-th batch row; 1 = exact reference semantics (shipped default)
+            bn_stat_subsample=int(
+                os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")
+            ),
+            # both views through the backbone as ONE 256-image batch (merges
+            # the per-view BN train stats — opt-in deviation; r1 measured
+            # neutral, re-measured r3 after the bf16-aug/key-folding changes)
+            fuse_views=os.environ.get("BENCH_FUSE_VIEWS", "0") == "1",
+        )
     # frozen (running-stat) BN fine-tuning mode: deletes the per-step BN
     # stat reductions + their backward (an opt-in training-dynamics
     # deviation like the knobs above; measured in docs/PERF.md r4)
@@ -114,13 +161,22 @@ def main() -> None:
                 f"train-mode-BN options would be silently inert: "
                 f"{', '.join(inert)}"
             )
-    metrics = IterationLoss(
-        loss=StereoL1Loss(rel_weight=0.01, reference_decay=1.0), iter_decay=0.5
-    )
+    if multiview:
+        from rot_mvgaze_tpu.losses.multiview import MultiViewL1Loss
+
+        loss = MultiViewL1Loss(rel_weight=0.01, reference_decay=1.0)
+    else:
+        loss = StereoL1Loss(rel_weight=0.01, reference_decay=1.0)
+    metrics = IterationLoss(loss=loss, iter_decay=0.5)
     tx = make_optimizer(cyclic_triangular2(1e-6, 1e-3, 1000, 1000))
 
     rng = np.random.default_rng(0)
-    host_batch = make_host_batch(rng, batch, size)
+    if multiview:
+        from rot_mvgaze_tpu.utils.drivers import make_multiview_host_batch
+
+        host_batch = make_multiview_host_batch(rng, batch, size, num_views)
+    else:
+        host_batch = make_host_batch(rng, batch, size)
     mesh = None
     if n_dev > 1:
         from rot_mvgaze_tpu.parallel.mesh import make_mesh, shard_batch
@@ -130,7 +186,12 @@ def main() -> None:
     else:
         device_batch = jax.device_put(host_batch)
 
-    init_data = make_init_data(size)
+    if multiview:
+        from rot_mvgaze_tpu.utils.drivers import make_multiview_init_data
+
+        init_data = make_multiview_init_data(size, num_views)
+    else:
+        init_data = make_init_data(size)
     variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -146,11 +207,19 @@ def main() -> None:
     # fold_key_by_step: the per-step PRNG key derives from state.step inside
     # the jit — the host passes one staged base key, no per-step dispatch
     # (each tiny host->device op costs ~ms over the tunnel).
-    train_step = jax.jit(
-        make_train_step(model, metrics, tx, image_size=size,
-                        fold_key_by_step=True, freeze_bn=freeze_bn),
-        donate_argnums=(0,),
-    )
+    if multiview:
+        from rot_mvgaze_tpu.train.multiview_steps import (
+            make_multiview_train_step,
+        )
+
+        step_fn = make_multiview_train_step(
+            model, metrics, tx, image_size=size, fold_key_by_step=True,
+            freeze_bn=freeze_bn,
+        )
+    else:
+        step_fn = make_train_step(model, metrics, tx, image_size=size,
+                                  fold_key_by_step=True, freeze_bn=freeze_bn)
+    train_step = jax.jit(step_fn, donate_argnums=(0,))
     key = jax.device_put(jax.random.PRNGKey(0))
 
     # BENCH_COMPILER_OPTIONS: JSON dict of XLA compiler options compiled
@@ -184,12 +253,16 @@ def main() -> None:
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = 2 * batch * n_steps / dt
+    imgs_per_sec = num_views * batch * n_steps / dt
     per_chip = imgs_per_sec / n_dev
+    mv_tag = f"_mv{num_views}" if multiview else ""
     record = {
-        "metric": f"rotmv_r{depth}_train_step_throughput",
+        "metric": f"rotmv_r{depth}{mv_tag}_train_step_throughput",
         "value": round(per_chip, 1),
-        "unit": f"images/sec/chip (2-view {size}^2, fwd+bwd+adam, bf16)",
+        "unit": (
+            f"images/sec/chip ({num_views}-view {size}^2, fwd+bwd+adam, "
+            "bf16)"
+        ),
         # the A100 comparison is defined for the shipped R50/224^2 workload
         # only; a BENCH_DEPTH/SIZE/ITERS override measures something else
         # and a ratio against the R50 estimate would be wildly misleading
@@ -205,6 +278,8 @@ def main() -> None:
             "num_iter": num_iter,
             "image_size": size,
         }
+        if multiview:
+            record["config"]["num_views"] = num_views
     if freeze_bn:  # same workload shape, different training dynamics —
         record.setdefault("config", {})["freeze_bn"] = True
     if n_dev > 1:

@@ -223,7 +223,14 @@ class Trainer:
         # Full-state resume (optimizer moments + step) when the checkpoint
         # carries them — subsumes the reference's params-only restart
         # (/root/reference/trainer.py:45-48 drops optimizer/schedule state).
-        if self._resume_path and self._resume_path.endswith(".msgpack"):
+        # Gate on tree CONTENTS, not the filename: a full TrainState
+        # checkpoint saved/renamed with a non-.msgpack extension must take
+        # this path too, or --mode test would silently score the raw params
+        # (prefer_ema above keys off "opt_state" in tree for the same
+        # reason — the two decisions must agree).
+        if self._resume_path and not self._resume_path.endswith(
+            (".pth", ".pth.tar", ".pt")
+        ):
             from rot_mvgaze_tpu.train.checkpoints import (
                 restore_state_from_tree,
                 restore_tree,
@@ -618,10 +625,11 @@ class Trainer:
         )
 
         tree = restore_tree(path)
-        if path.endswith(".msgpack"):
-            # stash the parsed tree so the full-state resume block reuses it
-            # instead of re-reading + re-deserializing the file
-            self._resume_tree = tree
+        # stash the parsed tree so the full-state resume block reuses it
+        # instead of re-reading + re-deserializing the file (any msgpack
+        # payload, whatever its extension — the resume gate checks tree
+        # CONTENTS, not the filename)
+        self._resume_tree = tree
         return variables_from_tree(
             tree,
             init_variables,
@@ -1216,6 +1224,15 @@ class Trainer:
         # from_state_dict on restore; readers that only want variables
         # (serving, converters) never look at it.
         tree = serialization.to_state_dict(jax.device_get(self.state))
+        if tree.get("ema_params") is None:
+            # Runs without --ema_decay keep the pre-EMA checkpoint layout
+            # byte-identical: a serialized None ema_params field would make
+            # every checkpoint fail from_state_dict ("unknown field") in
+            # older builds of this framework, for a feature the run never
+            # used. Restore normalizes the missing key back (Trainer
+            # __init__ seeds the EMA from params when --ema_decay turns on
+            # mid-lineage).
+            tree.pop("ema_params", None)
         tree["epoch_meta"] = {
             "epochs_done": int(self._epoch_cur),
             "epoch_step": int(self._epoch_step),

@@ -69,6 +69,37 @@ def make_host_batch(rng, batch: int, size: int) -> Dict[str, Any]:
     }
 
 
+def make_multiview_host_batch(
+    rng, batch: int, size: int, num_views: int
+) -> Dict[str, Any]:
+    """Synthetic host-side V-view training batch (stacked uint8 pixels +
+    labels), the input contract of ``make_multiview_train_step``."""
+    import numpy as np
+
+    V = num_views
+    return {
+        "imgs": rng.integers(
+            0, 256, (batch, V, size, size, 3), dtype=np.uint8
+        ),
+        "gt_gazes": rng.uniform(-1, 1, (batch, V, 2)).astype(np.float32),
+        "head_poses": rng.uniform(-0.8, 0.8, (batch, V, 2)).astype(
+            np.float32
+        ),
+    }
+
+
+def make_multiview_init_data(
+    size: int, num_views: int, batch: int = 2
+) -> Dict[str, Any]:
+    """Tiny already-preprocessed V-view batch for ``model.init``."""
+    import jax.numpy as jnp
+
+    return {
+        "imgs": jnp.zeros((batch, num_views, size, size, 3), jnp.float32),
+        "rots": jnp.broadcast_to(jnp.eye(3), (batch, num_views, 3, 3)),
+    }
+
+
 def make_init_data(size: int, batch: int = 2) -> Dict[str, Any]:
     """Tiny already-preprocessed batch for ``model.init`` (shape-only)."""
     import jax.numpy as jnp

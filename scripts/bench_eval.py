@@ -13,7 +13,9 @@ fence is a host readback of the final result.
 
 Env: BENCH_BATCH (128), SERVE_BATCH (8), BENCH_INT8=1 for the int8 MXU
 serving path with dynamic activation scales, BENCH_INT8=static for
-calibrated static scales (ops/quant.py).
+calibrated static scales (ops/quant.py), BENCH_NUM_VIEWS=V (>2) for the
+V-view FeatRotationMultiView serving path over stacked (N,V,H,W,3)
+requests (counts V*batch images).
 
 Prints one JSON line:
   {"eval_imgs_per_sec": ..., "serving_p50_ms": ..., "serving_batch": ...,
@@ -54,6 +56,12 @@ def main() -> None:
             "silently bench the dynamic path)"
         )
     int8 = allowed[raw]
+    num_views = int(os.environ.get("BENCH_NUM_VIEWS", "2"))
+    if num_views < 2:
+        raise SystemExit(
+            f"BENCH_NUM_VIEWS must be >= 2; got {num_views}"
+        )
+    multiview = num_views > 2
     size = 224
 
     # Unbuffered stage progress (same rationale as __graft_entry__'s dryrun:
@@ -68,23 +76,47 @@ def main() -> None:
               file=sys.stderr, flush=True)
 
     say(f"bench_eval: batch={batch} serve_batch={serve_batch} int8={int8} "
-        f"backend={jax.default_backend()}")
+        f"num_views={num_views} backend={jax.default_backend()}")
 
-    model = FeatRotationSymm(
-        backbone_depth=50, num_iter=3, dtype=jnp.bfloat16, int8_backbone=int8
-    )
-    init_data = {
-        "img_0": jnp.zeros((2, size, size, 3)),
-        "img_1": jnp.zeros((2, size, size, 3)),
-        "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-        "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-    }
+    if multiview:
+        from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
+
+        model = FeatRotationMultiView(
+            backbone_depth=50, num_iter=3, dtype=jnp.bfloat16,
+            int8_backbone=int8,
+        )
+        init_data = {
+            "imgs": jnp.zeros((2, num_views, size, size, 3)),
+            "rots": jnp.broadcast_to(jnp.eye(3), (2, num_views, 3, 3)),
+        }
+    else:
+        model = FeatRotationSymm(
+            backbone_depth=50, num_iter=3, dtype=jnp.bfloat16,
+            int8_backbone=int8,
+        )
+        init_data = {
+            "img_0": jnp.zeros((2, size, size, 3)),
+            "img_1": jnp.zeros((2, size, size, 3)),
+            "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+            "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        }
     variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
     say("params initialized")
 
     rng = np.random.default_rng(0)
 
     def make_batch(n):
+        if multiview:
+            return jax.device_put(
+                {
+                    "imgs": rng.integers(
+                        0, 256, (n, num_views, size, size, 3), dtype=np.uint8
+                    ),
+                    "head_poses": rng.uniform(
+                        -0.8, 0.8, (n, num_views, 2)
+                    ).astype(np.float32),
+                }
+            )
         return jax.device_put(
             {
                 "img_0": rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8),
@@ -96,20 +128,32 @@ def main() -> None:
 
     @jax.jit
     def fwd(variables, b, hp_0, step):
-        data = {
-            "img_0": eval_preprocess(b["img_0"], size),
-            "img_1": eval_preprocess(b["img_1"], size),
-            # chain: previous prediction perturbs this call's head pose
-            # (data-dependent ordering) PLUS a distinct step scalar — the
-            # 0.01*tanh feedback alone is a ~1% contraction whose iterates
-            # converge to a bitwise f32 fixed point after a few calls,
-            # re-enabling the identical-dispatch short-circuit this chain
-            # exists to defeat; the step term guarantees distinct inputs
-            "rot_0": rotation_matrix_2d(
-                b["hp_0"] + 0.01 * jnp.tanh(hp_0) + 0.001 * step
-            ),
-            "rot_1": rotation_matrix_2d(b["hp_1"]),
-        }
+        # chain: previous prediction perturbs this call's head pose
+        # (data-dependent ordering) PLUS a distinct step scalar — the
+        # 0.01*tanh feedback alone is a ~1% contraction whose iterates
+        # converge to a bitwise f32 fixed point after a few calls,
+        # re-enabling the identical-dispatch short-circuit this chain
+        # exists to defeat; the step term guarantees distinct inputs
+        perturb = 0.01 * jnp.tanh(hp_0) + 0.001 * step
+        if multiview:
+            flat = b["imgs"].reshape((-1,) + b["imgs"].shape[2:])
+            proc = eval_preprocess(flat, size)
+            data = {
+                "imgs": proc.reshape(
+                    b["imgs"].shape[:2] + proc.shape[1:]
+                ),
+                # (N,2) feedback rides every view's pose (trailing-axis)
+                "rots": rotation_matrix_2d(
+                    b["head_poses"] + perturb[:, None, :]
+                ),
+            }
+        else:
+            data = {
+                "img_0": eval_preprocess(b["img_0"], size),
+                "img_1": eval_preprocess(b["img_1"], size),
+                "rot_0": rotation_matrix_2d(b["hp_0"] + perturb),
+                "rot_1": rotation_matrix_2d(b["hp_1"]),
+            }
         return model.apply(variables, data, train=False)["pred_gaze"]
 
     _step_counter = iter(range(10**9))
@@ -125,13 +169,22 @@ def main() -> None:
     big = make_batch(batch)
     if int8 == "static":
         # one calibration pass (mutable quant collection) before benching —
-        # the same graph production serves (serving.make_calibration_forward)
-        from rot_mvgaze_tpu.serving import make_calibration_forward
+        # the same graph production serves (serving.make_calibration_forward
+        # / make_multiview_calibration_forward)
+        if multiview:
+            from rot_mvgaze_tpu.serving import (
+                make_multiview_calibration_forward,
+            )
 
-        calib = jax.jit(make_calibration_forward(model, size))
-        _, quant = calib(
-            variables, big["img_0"], big["img_1"], big["hp_0"], big["hp_1"]
-        )
+            calib = jax.jit(make_multiview_calibration_forward(model, size))
+            _, quant = calib(variables, big["imgs"], big["head_poses"])
+        else:
+            from rot_mvgaze_tpu.serving import make_calibration_forward
+
+            calib = jax.jit(make_calibration_forward(model, size))
+            _, quant = calib(
+                variables, big["img_0"], big["img_1"], big["hp_0"], big["hp_1"]
+            )
         variables = {**variables, "quant": quant}
 
     out = jnp.zeros((batch, 2), jnp.float32)
@@ -146,7 +199,7 @@ def main() -> None:
         out = fwd_chained(variables, big, out)
     fence(out)
     dt = time.perf_counter() - t0
-    eval_ips = 2 * batch * n_steps / dt
+    eval_ips = num_views * batch * n_steps / dt
     say(f"throughput: {eval_ips:.1f} imgs/s; timing serving latency ...")
 
     # latency (small batch, per-call fence = request/response)
@@ -169,6 +222,7 @@ def main() -> None:
                 "serving_p99_ms": round(float(np.percentile(lat, 99)), 2),
                 "serving_batch": serve_batch,
                 "int8": int8,
+                "num_views": num_views,
             }
         )
     )

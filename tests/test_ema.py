@@ -356,6 +356,40 @@ class TestTrainerEMA:
         np.testing.assert_allclose(got, ema_leaf, rtol=0, atol=0)
         assert not np.allclose(got, raw_leaf)
 
+    def test_no_ema_checkpoint_has_pre_ema_layout(self, tmp_path):
+        # decay=0 runs serialize NO ema_params key at all: a stored None
+        # would fail from_state_dict ("unknown field") in pre-EMA builds of
+        # this framework — the layout must stay byte-compatible.
+        t0 = self._trainer(tmp_path, self._config(tmp_path, ema_decay=0.0))
+        t0.train_one_epoch(0)
+        path = t0.save_checkpoint(add="layout")
+        from rot_mvgaze_tpu.train.checkpoints import restore_tree
+
+        assert "ema_params" not in restore_tree(path)
+
+    def test_renamed_full_checkpoint_still_full_restores(self, tmp_path):
+        # The full-state resume keys off tree CONTENTS, not the .msgpack
+        # extension: a renamed full TrainState checkpoint must restore
+        # opt_state/step AND score the EMA weights in --mode test (not
+        # silently fall back to a weight-only load of the raw params).
+        import shutil
+
+        t0 = self._trainer(tmp_path, self._config(tmp_path))
+        t0.train_one_epoch(0)
+        path = t0.save_checkpoint(add="to_rename")
+        renamed = str(tmp_path / "renamed.ckpt")
+        shutil.copy(path, renamed)
+        ema = jax.tree.map(np.asarray, t0.state.ema_params)
+
+        t1 = self._trainer(
+            tmp_path,
+            self._config(tmp_path, mode="test", ema_decay=0.0,
+                         ckpt_resume=renamed),
+        )
+        assert int(t1.state.step) == int(t0.state.step) > 0
+        assert t1.state.ema_params is not None
+        _allclose_tree(t1.eval_params, ema, rtol=0, atol=0)
+
     def test_invalid_decay_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="ema_decay"):
             self._trainer(tmp_path, self._config(tmp_path, ema_decay=1.0))
