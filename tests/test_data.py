@@ -54,6 +54,51 @@ class TestPairIndex:
         assert len(idx) == 6
 
 
+class TestLearnableCorpus:
+    def test_label_decodes_from_pixels(self, tmp_path):
+        """learnable=True writes a corpus whose gaze label is recoverable
+        from image content (disc centroid -> pitch/yaw) — the property the
+        sustained convergence run depends on."""
+        import h5py
+
+        from rot_mvgaze_tpu.data.synthetic import (
+            LEARNABLE_GAZE_RANGE,
+            _LEARNABLE_NORM,
+        )
+
+        S = 64
+        path = str(tmp_path / "learn.h5")
+        write_synthetic_h5(path, n_frames=2, image_size=S, learnable=True)
+        with h5py.File(path, "r") as f:
+            imgs = f["face_patch"][()]
+            gaze = f["face_gaze"][()]
+        assert np.all(np.abs(gaze) <= LEARNABLE_GAZE_RANGE + 1e-6)
+        for img, g in zip(imgs, gaze):
+            ys, xs = np.where(img[..., 0] == 255)
+            assert len(ys) > 0, "no disc rendered"
+            cy, cx = ys.mean(), xs.mean()
+            pitch = (2 * cy / (S - 1) - 1) * _LEARNABLE_NORM
+            yaw = (2 * cx / (S - 1) - 1) * _LEARNABLE_NORM
+            # centroid quantization + disc clipping at borders: ~1px slack
+            tol = 2.5 * _LEARNABLE_NORM / (S - 1)
+            assert abs(pitch - g[0]) < tol and abs(yaw - g[1]) < tol, (
+                f"decoded ({pitch:.3f},{yaw:.3f}) vs label {g}"
+            )
+
+    def test_default_corpus_unchanged(self, tmp_path):
+        # learnable=False must keep producing the exact legacy bytes —
+        # pair-index/parity goldens elsewhere depend on the noise draws
+        a = str(tmp_path / "a.h5")
+        write_synthetic_h5(a, n_frames=1, image_size=8, seed=3)
+        import h5py
+
+        with h5py.File(a, "r") as f:
+            imgs = f["face_patch"][()]
+        rng = np.random.default_rng(3)
+        expect = rng.integers(0, 256, (18, 8, 8, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(imgs, expect)
+
+
 class TestGazeDataset:
     @pytest.fixture
     def root(self, tmp_path):
