@@ -36,8 +36,6 @@ def main() -> None:
     from rot_mvgaze_tpu.utils.drivers import (
         enable_compile_cache_unless_cpu,
         honor_cpu_platform_env,
-        make_host_batch,
-        make_init_data,
     )
 
     honor_cpu_platform_env()
@@ -49,10 +47,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
-    from rot_mvgaze_tpu.models import FeatRotationSymm
     from rot_mvgaze_tpu.train.schedule import cyclic_triangular2
-    from rot_mvgaze_tpu.train.steps import make_train_step
     from rot_mvgaze_tpu.train.trainer import TrainState, make_optimizer
 
     # Data-parallel scaling: with >1 visible chip the PER-CHIP batch stays
@@ -79,63 +74,45 @@ def main() -> None:
     default_workload = (depth, num_iter, size, num_views) == (50, 3, 224, 2)
 
     pallas_bn_env = os.environ.get("BENCH_PALLAS_BN", "0")
-    if multiview:
-        # stereo-model-only knobs: FeatRotationMultiView has no Pallas
-        # rotate+concat+GEMM fusion / Pallas-BN / ghost-stat / fuse_views
-        # fields — a record combining them with V>2 would attribute its
-        # number to a path that does not exist (CLI rejects the same way)
-        stereo_only = [
-            name
-            for name, on in (
-                ("BENCH_PALLAS_FUSION",
-                 os.environ.get("BENCH_PALLAS_FUSION", "0") == "1"),
-                ("BENCH_PALLAS_BN", pallas_bn_env != "0"),
-                ("BENCH_BN_STAT_SUBSAMPLE",
-                 int(os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")) > 1),
-                ("BENCH_FUSE_VIEWS",
-                 os.environ.get("BENCH_FUSE_VIEWS", "0") == "1"),
-            )
-            if on
-        ]
-        if stereo_only:
-            raise SystemExit(
-                f"BENCH_NUM_VIEWS={num_views} uses FeatRotationMultiView, "
-                f"which has no such options: {', '.join(stereo_only)}"
-            )
-        from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
+    # stereo-only model knobs (Pallas rotate+concat+GEMM fusion, Pallas BN,
+    # ghost-stat BN, fuse_views): passed through only at V=2; at V>2 the
+    # Workload factory rejects them by name — a record combining them with
+    # FeatRotationMultiView would attribute its number to a path that does
+    # not exist (the CLI rejects the same way).
+    stereo_opts = {}
+    if os.environ.get("BENCH_PALLAS_FUSION", "0") == "1":
+        stereo_opts["use_pallas_fusion"] = True
+    if pallas_bn_env != "0":
+        # "1" = all BNs via Pallas (r1, negative); "residual" = tail BNs
+        stereo_opts["use_pallas_bn"] = (
+            "residual" if pallas_bn_env == "residual" else True
+        )
+    if int(os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")) > 1:
+        # ghost-stat BN experiment (docs/PERF.md r3): stats from every
+        # k-th batch row; 1 = exact reference semantics (shipped default)
+        stereo_opts["bn_stat_subsample"] = int(
+            os.environ["BENCH_BN_STAT_SUBSAMPLE"]
+        )
+    if os.environ.get("BENCH_FUSE_VIEWS", "0") == "1":
+        # both views through the backbone as ONE 256-image batch (merges
+        # the per-view BN train stats — opt-in deviation; r1 measured
+        # neutral, re-measured r3 after the bf16-aug/key-folding changes)
+        stereo_opts["fuse_views"] = True
 
-        model = FeatRotationMultiView(
+    from rot_mvgaze_tpu.utils.drivers import Workload
+
+    try:
+        workload = Workload(
+            num_views=num_views,
             backbone_depth=depth,
             num_iter=num_iter,
             dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1",
+            **stereo_opts,
         )
-    else:
-        model = FeatRotationSymm(
-            backbone_depth=depth,
-            num_iter=num_iter,
-            dtype=jnp.bfloat16,
-            remat=os.environ.get("BENCH_REMAT", "0") == "1",
-            use_pallas_fusion=(
-                os.environ.get("BENCH_PALLAS_FUSION", "0") == "1"
-            ),
-            # "1" = all BNs via Pallas (r1, negative); "residual" = tail
-            # BNs only
-            use_pallas_bn=(
-                True if pallas_bn_env == "1"
-                else "residual" if pallas_bn_env == "residual"
-                else False
-            ),
-            # ghost-stat BN experiment (docs/PERF.md r3): stats from every
-            # k-th batch row; 1 = exact reference semantics (shipped default)
-            bn_stat_subsample=int(
-                os.environ.get("BENCH_BN_STAT_SUBSAMPLE", "1")
-            ),
-            # both views through the backbone as ONE 256-image batch (merges
-            # the per-view BN train stats — opt-in deviation; r1 measured
-            # neutral, re-measured r3 after the bf16-aug/key-folding changes)
-            fuse_views=os.environ.get("BENCH_FUSE_VIEWS", "0") == "1",
-        )
+    except ValueError as e:
+        raise SystemExit(f"BENCH_NUM_VIEWS={num_views}: {e}")
+    model = workload.model
     # frozen (running-stat) BN fine-tuning mode: deletes the per-step BN
     # stat reductions + their backward (an opt-in training-dynamics
     # deviation like the knobs above; measured in docs/PERF.md r4)
@@ -161,22 +138,10 @@ def main() -> None:
                 f"train-mode-BN options would be silently inert: "
                 f"{', '.join(inert)}"
             )
-    if multiview:
-        from rot_mvgaze_tpu.losses.multiview import MultiViewL1Loss
-
-        loss = MultiViewL1Loss(rel_weight=0.01, reference_decay=1.0)
-    else:
-        loss = StereoL1Loss(rel_weight=0.01, reference_decay=1.0)
-    metrics = IterationLoss(loss=loss, iter_decay=0.5)
     tx = make_optimizer(cyclic_triangular2(1e-6, 1e-3, 1000, 1000))
 
     rng = np.random.default_rng(0)
-    if multiview:
-        from rot_mvgaze_tpu.utils.drivers import make_multiview_host_batch
-
-        host_batch = make_multiview_host_batch(rng, batch, size, num_views)
-    else:
-        host_batch = make_host_batch(rng, batch, size)
+    host_batch = workload.host_batch(rng, batch, size)
     mesh = None
     if n_dev > 1:
         from rot_mvgaze_tpu.parallel.mesh import make_mesh, shard_batch
@@ -186,12 +151,7 @@ def main() -> None:
     else:
         device_batch = jax.device_put(host_batch)
 
-    if multiview:
-        from rot_mvgaze_tpu.utils.drivers import make_multiview_init_data
-
-        init_data = make_multiview_init_data(size, num_views)
-    else:
-        init_data = make_init_data(size)
+    init_data = workload.init_data(size)
     variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -207,19 +167,11 @@ def main() -> None:
     # fold_key_by_step: the per-step PRNG key derives from state.step inside
     # the jit — the host passes one staged base key, no per-step dispatch
     # (each tiny host->device op costs ~ms over the tunnel).
-    if multiview:
-        from rot_mvgaze_tpu.train.multiview_steps import (
-            make_multiview_train_step,
-        )
-
-        step_fn = make_multiview_train_step(
-            model, metrics, tx, image_size=size, fold_key_by_step=True,
-            freeze_bn=freeze_bn,
-        )
-    else:
-        step_fn = make_train_step(model, metrics, tx, image_size=size,
-                                  fold_key_by_step=True, freeze_bn=freeze_bn)
-    train_step = jax.jit(step_fn, donate_argnums=(0,))
+    train_step = jax.jit(
+        workload.make_train_step(tx, image_size=size, fold_key_by_step=True,
+                                 freeze_bn=freeze_bn),
+        donate_argnums=(0,),
+    )
     key = jax.device_put(jax.random.PRNGKey(0))
 
     # BENCH_COMPILER_OPTIONS: JSON dict of XLA compiler options compiled

@@ -110,3 +110,95 @@ def make_init_data(size: int, batch: int = 2) -> Dict[str, Any]:
         "rot_0": jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)),
         "rot_1": jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)),
     }
+
+
+class Workload:
+    """Model + loss + step factories + synthetic-data builders for the
+    stereo (V=2) or V-view (V>2) training workload — the ONE owner of the
+    multiview-vs-stereo wiring (bench.py, scripts/bench_eval.py and
+    ``__graft_entry__.py`` each used to carry their own copy of these
+    if/else blocks; review batch r5 flagged the drift risk the r4
+    docstring above already names)."""
+
+    def __init__(self, num_views: int = 2, backbone_depth: Any = 50,
+                 num_iter: int = 3, dtype: Any = None, remat: bool = False,
+                 int8_backbone: Any = False, **stereo_kwargs: Any) -> None:
+        import jax.numpy as jnp
+
+        from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+
+        if num_views < 2:
+            raise ValueError(
+                f"num_views must be >= 2 (got {num_views}); the model is "
+                "defined over at least one view pair"
+            )
+        self.num_views = num_views
+        self.multiview = num_views > 2
+        dtype = jnp.float32 if dtype is None else dtype
+        common = dict(backbone_depth=backbone_depth, num_iter=num_iter,
+                      dtype=dtype, remat=remat, int8_backbone=int8_backbone)
+        if self.multiview:
+            if stereo_kwargs:
+                # FeatRotationMultiView has no Pallas-fusion/Pallas-BN/
+                # ghost-stat/fuse_views fields — constructing "with" them
+                # would attribute results to a path that does not exist
+                raise ValueError(
+                    f"stereo-only model options at num_views={num_views}: "
+                    f"{sorted(stereo_kwargs)}"
+                )
+            from rot_mvgaze_tpu.losses.multiview import MultiViewL1Loss
+            from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
+
+            self.model = FeatRotationMultiView(**common)
+            loss = MultiViewL1Loss(rel_weight=0.01, reference_decay=1.0)
+        else:
+            from rot_mvgaze_tpu.models import FeatRotationSymm
+
+            self.model = FeatRotationSymm(**common, **stereo_kwargs)
+            loss = StereoL1Loss(rel_weight=0.01, reference_decay=1.0)
+        self.metrics = IterationLoss(loss=loss, iter_decay=0.5)
+
+    # -- step factories (forward extra kwargs, e.g. image_sharding,
+    #    fold_key_by_step, freeze_bn; each factory validates its own) --
+    def make_train_step(self, tx: Any, image_size: int, **kw: Any):
+        if self.multiview:
+            from rot_mvgaze_tpu.train.multiview_steps import (
+                make_multiview_train_step,
+            )
+
+            return make_multiview_train_step(
+                self.model, self.metrics, tx, image_size=image_size, **kw
+            )
+        from rot_mvgaze_tpu.train.steps import make_train_step
+
+        return make_train_step(
+            self.model, self.metrics, tx, image_size=image_size, **kw
+        )
+
+    def make_eval_step(self, image_size: int, **kw: Any):
+        if self.multiview:
+            from rot_mvgaze_tpu.train.multiview_steps import (
+                make_multiview_eval_step,
+            )
+
+            return make_multiview_eval_step(
+                self.model, image_size=image_size, **kw
+            )
+        from rot_mvgaze_tpu.train.steps import make_eval_step
+
+        return make_eval_step(self.model, image_size=image_size, **kw)
+
+    # -- synthetic data --
+    def host_batch(self, rng, batch: int, size: int) -> Dict[str, Any]:
+        if self.multiview:
+            return make_multiview_host_batch(rng, batch, size,
+                                             self.num_views)
+        return make_host_batch(rng, batch, size)
+
+    def init_data(self, size: int, batch: int = 2) -> Dict[str, Any]:
+        if self.multiview:
+            return make_multiview_init_data(size, self.num_views, batch)
+        return make_init_data(size, batch)
+
+    def images_per_sample(self) -> int:
+        return self.num_views

@@ -37,6 +37,25 @@ from rot_mvgaze_tpu.data.packed import pack_hdf5  # noqa: E402
 from rot_mvgaze_tpu.data.synthetic import write_synthetic_h5  # noqa: E402
 
 
+def fs_type(path: str) -> str:
+    """Filesystem type of the mount holding ``path`` (longest-prefix match
+    over /proc/mounts; '' if unreadable)."""
+    path = os.path.realpath(path)
+    best, best_type = "", ""
+    try:
+        with open("/proc/mounts") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    mnt = parts[1]
+                    if path.startswith(mnt.rstrip("/") + "/") or path == mnt:
+                        if len(mnt) > len(best):
+                            best, best_type = mnt, parts[2]
+    except OSError:
+        pass
+    return best_type
+
+
 def drop_caches() -> bool:
     try:
         subprocess.run(["sync"], check=True)
@@ -88,6 +107,15 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    fstype = fs_type(args.dir)
+    if fstype in ("tmpfs", "ramfs"):
+        # drop_caches does NOT evict tmpfs pages (RAM is the backing
+        # store), so a "cold" epoch there would silently measure memory
+        # bandwidth and be recorded as a cold-DISK number
+        print(f"--dir {args.dir} is {fstype}: the cold measurement needs "
+              "a real-disk filesystem (pass e.g. --dir /var/tmp)",
+              file=sys.stderr)
+        return 2
     work = tempfile.mkdtemp(prefix="cold_path_", dir=args.dir)
     S = args.image_size
     bytes_per_row = 2 * (S * S * 3 + 16)  # stereo gather: 2 rows/sample
@@ -96,6 +124,7 @@ def main() -> int:
         "files": args.files,
         "image_size": S,
         "cpu_count": os.cpu_count(),
+        "fs_type": fstype,
     }
     try:
         # -------- corpus (rows must be a multiple of 18 for the writer)

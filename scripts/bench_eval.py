@@ -43,7 +43,6 @@ def main() -> None:
 
     from rot_mvgaze_tpu.augment.ops import eval_preprocess
     from rot_mvgaze_tpu.geometry import rotation_matrix_2d
-    from rot_mvgaze_tpu.models import FeatRotationSymm
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     serve_batch = int(os.environ.get("SERVE_BATCH", "8"))
@@ -78,29 +77,16 @@ def main() -> None:
     say(f"bench_eval: batch={batch} serve_batch={serve_batch} int8={int8} "
         f"num_views={num_views} backend={jax.default_backend()}")
 
-    if multiview:
-        from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
+    from rot_mvgaze_tpu.utils.drivers import Workload
 
-        model = FeatRotationMultiView(
-            backbone_depth=50, num_iter=3, dtype=jnp.bfloat16,
-            int8_backbone=int8,
-        )
-        init_data = {
-            "imgs": jnp.zeros((2, num_views, size, size, 3)),
-            "rots": jnp.broadcast_to(jnp.eye(3), (2, num_views, 3, 3)),
-        }
-    else:
-        model = FeatRotationSymm(
-            backbone_depth=50, num_iter=3, dtype=jnp.bfloat16,
-            int8_backbone=int8,
-        )
-        init_data = {
-            "img_0": jnp.zeros((2, size, size, 3)),
-            "img_1": jnp.zeros((2, size, size, 3)),
-            "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-            "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-        }
-    variables = model.init({"params": jax.random.PRNGKey(0)}, init_data)
+    # one owner of the stereo/V-view model + init-data wiring (drivers.py;
+    # this file used to inline its own copy — r5 review batch)
+    workload = Workload(num_views=num_views, backbone_depth=50, num_iter=3,
+                        dtype=jnp.bfloat16, int8_backbone=int8)
+    model = workload.model
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, workload.init_data(size)
+    )
     say("params initialized")
 
     rng = np.random.default_rng(0)

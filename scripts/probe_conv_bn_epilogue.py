@@ -95,9 +95,17 @@ def main() -> None:
 
     record = {"B": B, "HW": H, "C": C, "n_steps": n_steps}
 
-    # correctness first (single dispatch each)
+    # correctness first (single dispatch each); tile = the largest sweep
+    # point dividing B so any PROBE_BATCH the sweep tolerates works here
+    tiles = [tb for tb in (4, 8, 16) if B % tb == 0]
+    if not tiles:
+        raise SystemExit(
+            f"PROBE_BATCH={B} is divisible by none of the sweep tiles "
+            "(4, 8, 16); pick a multiple of 4"
+        )
+    check_tile = min(tiles, key=lambda t: abs(t - 8))
     ref_out, ref_stats = xla_conv_stats(x, w)
-    pl_out, pl_stats = conv3x3_bn_stats(x, w, batch_tile=8)
+    pl_out, pl_stats = conv3x3_bn_stats(x, w, batch_tile=check_tile)
     record["out_max_abs_diff"] = float(
         jnp.max(jnp.abs(pl_out.astype(jnp.float32)
                         - ref_out.astype(jnp.float32)))
@@ -117,9 +125,7 @@ def main() -> None:
     record["xla_conv_plus_stats_ms"] = timed(
         chain(lambda x: xla_conv_stats(x, w), fb_pair), x,
         "xla conv + separate stats")
-    for tb in (4, 8, 16):
-        if B % tb:
-            continue
+    for tb in tiles:
         try:
             record[f"pallas_conv_bn_tb{tb}_ms"] = timed(
                 chain(lambda x, tb=tb: conv3x3_bn_stats(x, w, batch_tile=tb),

@@ -51,6 +51,13 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if not (0.0 < args.decay < 1.0):
+        # decay=0 (passthrough) or 1.0 (frozen init) would score a
+        # meaningless "EMA" and record it as a legitimate measurement —
+        # same bound the Trainer/CLI enforce for --ema_decay
+        ap.error(f"--decay must be in (0, 1); got {args.decay}")
+    if args.epochs < 1:
+        ap.error(f"--epochs must be >= 1; got {args.epochs}")
 
     import jax
     import jax.numpy as jnp
@@ -83,13 +90,11 @@ def main() -> int:
     metrics = IterationLoss(loss=StereoL1Loss(rel_weight=0.01),
                             iter_decay=0.5)
     tx = make_optimizer(lambda _t: args.lr)
-    init = {
-        "img_0": jnp.zeros((2, S, S, 3)),
-        "img_1": jnp.zeros((2, S, S, 3)),
-        "rot_0": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-        "rot_1": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
-    }
-    variables = model.init({"params": jax.random.PRNGKey(args.seed)}, init)
+    from rot_mvgaze_tpu.utils.drivers import make_init_data
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(args.seed)}, make_init_data(S)
+    )
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
