@@ -45,9 +45,13 @@ class TestGraftEntry:
             graft.dryrun_multichip(8, config="nope")
         with pytest.raises(ValueError, match="n_steps"):
             graft.dryrun_multichip(8, n_steps=3)
-        # legacy bool maps onto the named configs
-        assert graft._DRYRUN_CONFIGS["flagship"] == (224, 50, "bfloat16", 1)
-        assert graft._DRYRUN_CONFIGS["reduced"] == (64, 18, "float32", 1)
+        # legacy bool maps onto the named configs; tuple fields are
+        # (image_size, depth, dtype, spatial, num_views) since r5
+        assert graft._DRYRUN_CONFIGS["flagship"] == (224, 50, "bfloat16",
+                                                     1, 2)
+        assert graft._DRYRUN_CONFIGS["reduced"] == (64, 18, "float32", 1, 2)
+        assert graft._DRYRUN_CONFIGS["multiview"] == (64, 18, "float32",
+                                                      1, 3)
 
     def test_entry_compiles(self):
         import __graft_entry__ as graft
