@@ -19,6 +19,10 @@ def main() -> int:
         sys.argv[3],
         sys.argv[4],
     )
+    # optional 5th arg: views per sample (>2 exercises the V-view stack —
+    # MultiViewGazeDataset + multiview train/eval steps — under TRUE
+    # multi-process DP, same coordinator/mesh/allgather machinery)
+    num_views = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
@@ -49,15 +53,26 @@ def main() -> int:
     from types import SimpleNamespace
 
     from rot_mvgaze_tpu.data import BatchLoader, GazeDataset
+    from rot_mvgaze_tpu.data.multiview import MultiViewGazeDataset
     from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
+    from rot_mvgaze_tpu.losses.multiview import MultiViewL1Loss
     from rot_mvgaze_tpu.models import FeatRotationSymm
+    from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
     from rot_mvgaze_tpu.train import Trainer
 
     mesh = global_mesh()
     shard = (process_id, 2)
     keys = ["s00.h5", "s01.h5"]  # two subjects: per-subject table non-trivial
-    train_ds = GazeDataset("xgaze", data_dir, "bgr", keys, seed=0)
-    test_ds = GazeDataset("mpiinv", data_dir, "rgb", keys, seed=0)
+    if num_views > 2:
+        train_ds = MultiViewGazeDataset(
+            "xgaze", data_dir, "bgr", keys, n_views=num_views, seed=0
+        )
+        test_ds = MultiViewGazeDataset(
+            "mpiinv", data_dir, "rgb", keys, n_views=num_views, seed=0
+        )
+    else:
+        train_ds = GazeDataset("xgaze", data_dir, "bgr", keys, seed=0)
+        test_ds = GazeDataset("mpiinv", data_dir, "rgb", keys, seed=0)
     # global batch 8 -> local batch 4, sharded over the global order
     train_loader = BatchLoader(
         train_ds, batch_size=4, shuffle=True, seed=0, drop_last=True,
@@ -70,12 +85,18 @@ def main() -> int:
         mode="train", exp_name="mp", output_dir=os.path.join(out_dir, str(process_id)),
         ckpt_resume=None, print_freq=1000, seed=0, batch_size=4,
         test_batch_size=4, epochs=1, save_epoch=10, image_size=32,
-        scheduler_step="iteration",
+        scheduler_step="iteration", num_views=num_views,
     )
+    if num_views > 2:
+        model = FeatRotationMultiView(backbone_depth=18, num_iter=1)
+        loss = MultiViewL1Loss(rel_weight=0.01)
+    else:
+        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
+        loss = StereoL1Loss(rel_weight=0.01)
     trainer = Trainer(
         cfg,
-        FeatRotationSymm(backbone_depth=18, num_iter=1),
-        IterationLoss(loss=StereoL1Loss(rel_weight=0.01), iter_decay=0.5),
+        model,
+        IterationLoss(loss=loss, iter_decay=0.5),
         train_loader,
         test_loader,
         mesh=mesh,

@@ -24,7 +24,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_dp_trains_and_agrees(tmp_path):
+def _run_two_process(tmp_path, num_views: int = 2):
     from rot_mvgaze_tpu.data.synthetic import write_synthetic_dataset
 
     data_dir = tmp_path / "data"
@@ -47,6 +47,7 @@ def test_two_process_dp_trains_and_agrees(tmp_path):
                 sys.executable,
                 os.path.join(HERE, "_mp_worker.py"),
                 str(port), str(i), str(data_dir), str(out_dir),
+                str(num_views),
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -120,3 +121,14 @@ def test_two_process_dp_trains_and_agrees(tmp_path):
     assert len(entries) == 2, subj_tables  # both subjects present
     per_subj_n = sum(int(e.split(":")[2]) for e in entries)
     assert per_subj_n == n_total
+
+
+def test_two_process_dp_trains_and_agrees(tmp_path):
+    _run_two_process(tmp_path, num_views=2)
+
+
+def test_two_process_dp_multiview(tmp_path):
+    """The V-view stack (MultiViewGazeDataset + FeatRotationMultiView +
+    multiview train/eval steps + breakdown allgather) under TRUE 2-process
+    DP — the same coordinator/mesh machinery a 2-host V-view TPU job uses."""
+    _run_two_process(tmp_path, num_views=3)
