@@ -54,11 +54,8 @@ def main() -> int:
 
     from rot_mvgaze_tpu.data import BatchLoader, GazeDataset
     from rot_mvgaze_tpu.data.multiview import MultiViewGazeDataset
-    from rot_mvgaze_tpu.losses import IterationLoss, StereoL1Loss
-    from rot_mvgaze_tpu.losses.multiview import MultiViewL1Loss
-    from rot_mvgaze_tpu.models import FeatRotationSymm
-    from rot_mvgaze_tpu.models.multiview import FeatRotationMultiView
     from rot_mvgaze_tpu.train import Trainer
+    from rot_mvgaze_tpu.utils.drivers import Workload
 
     mesh = global_mesh()
     shard = (process_id, 2)
@@ -87,16 +84,14 @@ def main() -> int:
         test_batch_size=4, epochs=1, save_epoch=10, image_size=32,
         scheduler_step="iteration", num_views=num_views,
     )
-    if num_views > 2:
-        model = FeatRotationMultiView(backbone_depth=18, num_iter=1)
-        loss = MultiViewL1Loss(rel_weight=0.01)
-    else:
-        model = FeatRotationSymm(backbone_depth=18, num_iter=1)
-        loss = StereoL1Loss(rel_weight=0.01)
+    # one owner of the stereo/V-view model+loss wiring (drivers.Workload —
+    # same rel_weight/reference_decay/iter_decay defaults this worker used
+    # to inline)
+    workload = Workload(num_views=num_views, backbone_depth=18, num_iter=1)
     trainer = Trainer(
         cfg,
-        model,
-        IterationLoss(loss=loss, iter_decay=0.5),
+        workload.model,
+        workload.metrics,
         train_loader,
         test_loader,
         mesh=mesh,
