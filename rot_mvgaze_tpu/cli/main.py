@@ -162,6 +162,12 @@ def get_parser(**kwargs) -> argparse.ArgumentParser:
                    help="run both views through the backbone as one batch "
                         "during TRAINING too (merges BN batch stats across "
                         "views; eval always fuses)")
+    p.add_argument("--weights_only", type=str2bool, default=False,
+                   help="load ONLY the weights (params/BN stats, EMA "
+                        "preferred) from --ckpt_resume, discarding its "
+                        "optimizer state and step — a fine-tune warm start "
+                        "from a FULL .msgpack checkpoint (torch .pth.tar "
+                        "loads are always weight-only)")
     p.add_argument("--auto_resume_dir", type=str, default=None,
                    help="resume from the newest .msgpack checkpoint in this "
                         "directory (preemption recovery)")
@@ -411,6 +417,18 @@ def build_experiment(config: SimpleNamespace):
                 f"--freeze_bn uses running-stat (eval-mode) normalization; "
                 f"these train-mode-BN options would be silently inert: "
                 f"{', '.join(bad)}"
+            )
+    if getattr(config, "weights_only", False):
+        if not config.ckpt_resume:
+            raise SystemExit(
+                "--weights_only needs --ckpt_resume CKPT (it changes how "
+                "that checkpoint is loaded)"
+            )
+        if getattr(config, "auto_resume_dir", None):
+            raise SystemExit(
+                "--weights_only contradicts --auto_resume_dir: auto-resume "
+                "exists to CONTINUE a run (optimizer state + step); a "
+                "weight-only warm start discards exactly that"
             )
     ema = float(getattr(config, "ema_decay", 0.0) or 0.0)
     if not 0.0 <= ema < 1.0:

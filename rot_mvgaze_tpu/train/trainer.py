@@ -131,6 +131,10 @@ class Trainer:
                 f"auto_resume_dir={auto_dir!r} contains no *.msgpack"
             )
         self._resume_path = ckpt_resume
+        # --weights_only: treat ANY checkpoint as a bare weight source
+        # (fine-tune warm start); the full-state resume below is skipped
+        # and _load_checkpoint_variables prefers the EMA tree if present
+        self._weights_only = bool(getattr(config, "weights_only", False))
         # Explicit weights of any provenance count as a warm start (used by
         # the --freeze_bn cold-init warning below).
         self._warm_start = (
@@ -227,9 +231,14 @@ class Trainer:
         # checkpoint saved/renamed with a non-.msgpack extension must take
         # this path too, or --mode test would silently score the raw params
         # (prefer_ema above keys off "opt_state" in tree for the same
-        # reason — the two decisions must agree).
-        if self._resume_path and not self._resume_path.endswith(
-            (".pth", ".pth.tar", ".pt")
+        # reason — the two decisions must agree). --weights_only opts OUT:
+        # a fine-tune warm start keeps only params/BN stats (EMA preferred)
+        # and takes the fresh optimizer + full epoch budget, the same
+        # semantics a torch .pth.tar init gets.
+        if (
+            self._resume_path
+            and not self._weights_only
+            and not self._resume_path.endswith((".pth", ".pth.tar", ".pt"))
         ):
             from rot_mvgaze_tpu.train.checkpoints import (
                 restore_state_from_tree,
@@ -285,6 +294,10 @@ class Trainer:
                     f"restored full training state at step {int(self.state.step)}"
                 )
             self._resume_tree = None  # free the parsed tree
+        if self._weights_only:
+            # weight-only warm start: the parsed tree (potentially GBs for
+            # a full R50 TrainState) is not needed again — free it
+            self._resume_tree = None
         if jax.process_count() > 1:
             # Hosts must start bitwise-identical: DP collectives average
             # GRADIENTS, never parameters, so a resume where only some hosts
@@ -638,8 +651,11 @@ class Trainer:
             # this (params AND ema_params, __init__); swapping EMA into the
             # throwaway optimizer-init template here would only print a
             # misleading "using the EMA weights" for a training resume that
-            # in fact continues from the raw params.
-            prefer_ema="opt_state" not in tree,
+            # in fact continues from the raw params. Under --weights_only
+            # no full restore follows, so THIS load is the real one and the
+            # EMA weights (the deployment weights) are what a fine-tune
+            # should start from.
+            prefer_ema=self._weights_only or "opt_state" not in tree,
         )
 
     # ------------------------------------------------------------------

@@ -390,6 +390,44 @@ class TestTrainerEMA:
         assert t1.state.ema_params is not None
         _allclose_tree(t1.eval_params, ema, rtol=0, atol=0)
 
+    def test_weights_only_warm_start(self, tmp_path):
+        # --weights_only: a FULL TrainState checkpoint becomes a bare
+        # weight source — fresh optimizer, step 0, full epoch budget, and
+        # the EMA tree (the deployment weights) as the starting params
+        t0 = self._trainer(tmp_path, self._config(tmp_path))
+        t0.train_one_epoch(0)
+        path = t0.save_checkpoint(add="warmsrc")
+        ema = jax.tree.map(np.asarray, t0.state.ema_params)
+        raw = jax.tree.map(np.asarray, t0.state.params)
+
+        t1 = self._trainer(
+            tmp_path,
+            self._config(tmp_path, ckpt_resume=path, weights_only=True,
+                         ema_decay=0.0),
+        )
+        assert int(t1.state.step) == 0  # no step/opt_state carried over
+        assert t1._start_epoch == 0
+        _allclose_tree(t1.state.params, ema, rtol=0, atol=0)
+        # and NOT the raw params (EMA preferred for the warm start)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(t1.state.params),
+                            jax.tree.leaves(raw))
+        )
+
+    def test_cli_weights_only_validation(self, tmp_path):
+        from rot_mvgaze_tpu.cli.main import build_experiment, get_parser
+
+        base = ["--mode", "train", "--exp_name", "mpiinv_known",
+                "--output_dir", str(tmp_path / "logs")]
+        with pytest.raises(SystemExit, match="weights_only needs"):
+            build_experiment(get_parser().parse_args(
+                base + ["--weights_only", "true"]))
+        with pytest.raises(SystemExit, match="contradicts"):
+            build_experiment(get_parser().parse_args(
+                base + ["--weights_only", "true", "--ckpt_resume", "x.msgpack",
+                        "--auto_resume_dir", str(tmp_path)]))
+
     def test_invalid_decay_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="ema_decay"):
             self._trainer(tmp_path, self._config(tmp_path, ema_decay=1.0))
