@@ -419,7 +419,7 @@ def build_experiment(config: SimpleNamespace):
                 f"{', '.join(bad)}"
             )
     if getattr(config, "weights_only", False):
-        if not config.ckpt_resume:
+        if not getattr(config, "ckpt_resume", None):
             raise SystemExit(
                 "--weights_only needs --ckpt_resume CKPT (it changes how "
                 "that checkpoint is loaded)"

@@ -135,6 +135,17 @@ class Trainer:
         # (fine-tune warm start); the full-state resume below is skipped
         # and _load_checkpoint_variables prefers the EMA tree if present
         self._weights_only = bool(getattr(config, "weights_only", False))
+        if self._weights_only and auto_dir:
+            # Guard at the MECHANISM, not only the CLI (programmatic
+            # callers build Trainer directly): auto-resume exists to
+            # CONTINUE a preempted run; weights_only would silently drop
+            # its optimizer state + step every restart — an infinite
+            # from-scratch loop that prints "auto-resume".
+            raise ValueError(
+                "weights_only contradicts auto_resume_dir: auto-resume "
+                "continues a run (optimizer state + step); a weight-only "
+                "warm start discards exactly that"
+            )
         # Explicit weights of any provenance count as a warm start (used by
         # the --freeze_bn cold-init warning below).
         self._warm_start = (
@@ -293,11 +304,13 @@ class Trainer:
                 print(
                     f"restored full training state at step {int(self.state.step)}"
                 )
-            self._resume_tree = None  # free the parsed tree
-        if self._weights_only:
-            # weight-only warm start: the parsed tree (potentially GBs for
-            # a full R50 TrainState) is not needed again — free it
-            self._resume_tree = None
+            self._resume_tree = None  # free inside the branch too: the
+            # broadcast below must not hold a second multi-GB copy alive
+        # every load path is done with the parsed tree here (weight-only
+        # warm starts, torch loads, bare-variable msgpacks) — one
+        # unconditional clear so no future path can leak a full R50
+        # TrainState for the Trainer's lifetime
+        self._resume_tree = None
         if jax.process_count() > 1:
             # Hosts must start bitwise-identical: DP collectives average
             # GRADIENTS, never parameters, so a resume where only some hosts

@@ -415,6 +415,27 @@ class TestTrainerEMA:
                             jax.tree.leaves(raw))
         )
 
+    def test_trainer_rejects_weights_only_auto_resume(self, tmp_path):
+        # the guard lives at the MECHANISM too: a programmatic Trainer
+        # with both would silently restart from scratch on every
+        # "auto-resume" — refuse at construction
+        t0 = self._trainer(tmp_path, self._config(tmp_path))
+        t0.train_one_epoch(0)
+        ckpt_dir = str(tmp_path / "logs_auto")
+        import os
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        from rot_mvgaze_tpu.train.checkpoints import save_state
+
+        save_state(os.path.join(ckpt_dir, "ckpt.msgpack"),
+                   jax.device_get(t0.state))
+        with pytest.raises(ValueError, match="contradicts auto_resume"):
+            self._trainer(
+                tmp_path,
+                self._config(tmp_path, weights_only=True,
+                             auto_resume_dir=ckpt_dir),
+            )
+
     def test_cli_weights_only_validation(self, tmp_path):
         from rot_mvgaze_tpu.cli.main import build_experiment, get_parser
 
